@@ -1,0 +1,349 @@
+"""Bit-faithful fixed-point golden model (pure numpy).
+
+This module is the parity oracle for the TPU kernels: each function reproduces
+the integer arithmetic of the corresponding VHDL component exactly (same
+rounding, truncation and saturation), expressed as whole-array numpy code.
+
+Component map (citations into /root/reference/):
+
+* ``hamming_rom`` / ``hamming_coeffs``  <- rtl/src/window_multiplier.vhd:34-53
+  (Q15 coefficient ROM, half-length with symmetric addressing)
+* ``window_apply``                      <- rtl/src/window_multiplier.vhd:119-163
+  (Q15 multiply, +2^14 round, >>14 extract, saturate to int16, sticky flag)
+* ``bfp_fft``                           - block-floating-point FFT semantics.
+  The reference uses Xilinx XFFT IP with data-driven block-floating-point
+  scaling and convergent rounding (vivado_proj/.../ip/xfft_0_1/xfft_0.xci);
+  its exact per-stage scaling is not reproducible, so this framework *defines*
+  BFP semantics: unscaled float64 DFT, one per-transform block exponent
+  chosen so the peak component lands in [2^14, 2^15), convergent (half-even)
+  rounding to int16, block exponent discarded (the reference discards tuser:
+  rtl/src/radar_core.vhd:310).
+* ``mti_notch``                         <- rtl/src/doppler_notch.vhd:52-112
+  (2-/3-pulse canceller, saturating, delay line reset per range bin)
+* ``magnitude``                         <- rtl/src/magnitude_calc.vhd:45-88
+  (alpha-max-beta-min: max + min/4 + min/8 with truncating shifts)
+* ``os_cfar_2d``                        <- rtl/src/os_cfar_2d.vhd:150-217
+  (2D ordered-statistic CFAR, rank select, adaptive scale in {2,4,6}).
+  Axis semantics are the *named* ones (see SURVEY.md section 2a for the
+  reference's crossed-axis streaming quirk); edges wrap (torus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..params import CfarParams
+
+INT16_MIN = -32768
+INT16_MAX = 32767
+
+
+# ---------------------------------------------------------------------------
+# Window (rtl/src/window_multiplier.vhd)
+# ---------------------------------------------------------------------------
+
+def hamming_rom(n_samples: int, coef_width: int = 16) -> np.ndarray:
+    """Half-length Q15 Hamming ROM (window_multiplier.vhd:34-49).
+
+    coef[i] = round(32767 * (0.54 - 0.46*cos(2*pi*i/(N-1)))), clamped to
+    [0, 2^(coef_width-1)-1].  VHDL ``integer()`` rounds to nearest with ties
+    away from zero; coefficients are positive so floor(x+0.5) matches.
+    """
+    i = np.arange(n_samples // 2, dtype=np.float64)
+    angle = 2.0 * np.pi * i / float(n_samples - 1)
+    coef_real = 0.54 - 0.46 * np.cos(angle)
+    full_scale = float(2 ** (coef_width - 1) - 1)
+    coef_int = np.floor(coef_real * full_scale + 0.5).astype(np.int64)
+    return np.clip(coef_int, 0, 2 ** (coef_width - 1) - 1)
+
+
+def hamming_coeffs(n_samples: int, coef_width: int = 16) -> np.ndarray:
+    """Full-length coefficient vector via the reference's symmetric addressing
+    (window_multiplier.vhd:96-104): addr = i for i < N/2 else N-1-i, clamped."""
+    rom = hamming_rom(n_samples, coef_width)
+    idx = np.arange(n_samples)
+    addr = np.where(idx < n_samples // 2, idx, n_samples - 1 - idx)
+    addr = np.minimum(addr, n_samples // 2 - 1)
+    return rom[addr]
+
+
+def window_apply(i: np.ndarray, q: np.ndarray, coeffs: np.ndarray,
+                 coef_width: int = 16, rounding: str = "biased"):
+    """Bit-exact Q15 window multiply (window_multiplier.vhd:119-163).
+
+    product = x * coef (int16 x Q15); rounded = product + 2^(coef_width-2);
+    shifted = rounded >> (coef_width-2) as 17-bit signed; saturate to int16.
+    Note the extraction is >> 14 (not >> 15), i.e. the effective window gain is
+    coef / 2^14 — up to ~2.0 at the window center — so full-scale inputs can
+    saturate (exercised by tb_window_multiplier.vhd:101-112).
+
+    ``rounding``:
+
+    * ``"biased"`` (reference-exact) — the VHDL adds a *full* output LSB
+      (2^14) before the >>14 extraction (window_multiplier.vhd:146-149), a
+      +0.5 LSB bias that maps 0 -> 1 and imprints a DC ridge on the map
+      (visible in data/radar_output.txt: cell (0,0)=384 vs median 104).
+    * ``"unbiased"`` — proper round-half-up (+2^13 before >>14); the
+      framework default (see docs/design_notes.md).
+
+    ``i``, ``q``: integer arrays broadcastable against ``coeffs``.
+    Returns (i_out, q_out, saturated) with i/q int16-valued int64 arrays and
+    ``saturated`` a bool array marking saturated samples (sticky OR of I and Q,
+    cf. saturation_flag window_multiplier.vhd:151-158).
+    """
+    shift = coef_width - 2
+    if rounding == "biased":
+        rnd = 1 << shift
+    elif rounding == "unbiased":
+        rnd = 1 << (shift - 1)
+    else:
+        raise ValueError(rounding)
+
+    def one(x):
+        p = x.astype(np.int64) * coeffs.astype(np.int64)
+        shifted = (p + rnd) >> shift  # arithmetic shift (numpy >> floors)
+        sat = (shifted > INT16_MAX) | (shifted < INT16_MIN)
+        return np.clip(shifted, INT16_MIN, INT16_MAX), sat
+
+    i_out, sat_i = one(np.asarray(i))
+    q_out, sat_q = one(np.asarray(q))
+    return i_out, q_out, (sat_i | sat_q)
+
+
+# ---------------------------------------------------------------------------
+# Block-floating-point FFT (defined semantics; see module docstring)
+# ---------------------------------------------------------------------------
+
+def _round_half_even_to_int(x: np.ndarray) -> np.ndarray:
+    """Convergent rounding (round half to even), matching the XFFT config."""
+    return np.rint(x).astype(np.int64)
+
+
+def bfp_fft(i: np.ndarray, q: np.ndarray, axis: int = -1):
+    """Forward DFT with per-transform block-floating-point normalization.
+
+    Each transform (each 1D slice along ``axis``) is scaled by 2^-s with
+    s = max(0, ceil(log2((peak+1)/2^15))) where peak is the largest |Re|/|Im|
+    of the unscaled DFT, so the peak lands in the top octave of int16 —
+    emulating the Xilinx BFP behavior of maximizing precision without
+    overflow.  The block exponent is discarded, exactly as the reference
+    discards the XFFT tuser field (rtl/src/radar_core.vhd:310).
+
+    Returns (i_out, q_out) int64 arrays holding int16-ranged values.
+    """
+    z = np.asarray(i, dtype=np.float64) + 1j * np.asarray(q, dtype=np.float64)
+    zf = np.fft.fft(z, axis=axis)
+    peak = np.maximum(np.abs(zf.real), np.abs(zf.imag))
+    peak = np.max(peak, axis=axis, keepdims=True)
+    s = np.ceil(np.log2(np.maximum(peak, 1.0) / 32768.0))
+    s = np.maximum(s, 0.0)
+    zf = zf / (2.0 ** s)
+    i_out = np.clip(_round_half_even_to_int(zf.real), INT16_MIN, INT16_MAX)
+    q_out = np.clip(_round_half_even_to_int(zf.imag), INT16_MIN, INT16_MAX)
+    return i_out, q_out
+
+
+# ---------------------------------------------------------------------------
+# MTI notch (rtl/src/doppler_notch.vhd)
+# ---------------------------------------------------------------------------
+
+def mti_notch(i: np.ndarray, q: np.ndarray, axis: int = 0, mode: int = 2,
+              bypass: bool = False, transient: str = "zero"):
+    """Saturating MTI clutter canceller along the slow-time (chirp) axis.
+
+    2-pulse: y[c] = sat16(x[c] - x[c-1]); 3-pulse: y[c] = sat16(x[c] - 2x[c-1]
+    + x[c-2]) (doppler_notch.vhd:72-94).
+
+    ``transient`` controls the first (mode-1) output(s) of each pulse train,
+    where the canceller has no history:
+
+    * ``"zero"`` (default) — emit 0 for the transient chirp(s).  An N-pulse
+      canceller has N-1 fewer valid outputs; zero-filling them avoids leaking
+      an unfiltered impulse through the Doppler FFT (which would paint a flat
+      ridge across all Doppler bins of every strong range row and a
+      zero-Doppler ridge from noise — see docs/design_notes.md).
+    * ``"passthrough"`` — reference-exact: the delay line resets on tlast so
+      x[-1] = x[-2] = 0 and the first chirp passes through unsubtracted
+      (doppler_notch.vhd:99-102).
+    """
+    if bypass:
+        return np.asarray(i).copy(), np.asarray(q).copy()
+    if transient not in ("zero", "passthrough"):
+        raise ValueError(transient)
+
+    def delay(x, k):
+        x = np.asarray(x, dtype=np.int64)
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (k, 0)
+        xp = np.pad(x, pad)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, x.shape[axis])
+        return xp[tuple(sl)]
+
+    def one(x):
+        x = np.asarray(x, dtype=np.int64)
+        if mode == 2:
+            y = x - delay(x, 1)
+        elif mode == 3:
+            y = x - 2 * delay(x, 1) + delay(x, 2)
+        else:
+            raise ValueError(f"notch mode must be 2 or 3, got {mode}")
+        y = np.clip(y, INT16_MIN, INT16_MAX)
+        if transient == "zero":
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(0, mode - 1)
+            y[tuple(sl)] = 0
+        return y
+
+    return one(i), one(q)
+
+
+# ---------------------------------------------------------------------------
+# Magnitude (rtl/src/magnitude_calc.vhd)
+# ---------------------------------------------------------------------------
+
+def magnitude(i: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Alpha-max-beta-min magnitude: max(|I|,|Q|) + min/4 + min/8 with
+    truncating shifts (magnitude_calc.vhd:70-88).  <4% worst-case error.
+
+    abs(-32768) follows the reference's two's-complement negate-then-cast,
+    which yields +32768 (magnitude_calc.vhd:57-58).
+    """
+    ai = np.abs(np.asarray(i, dtype=np.int64))
+    aq = np.abs(np.asarray(q, dtype=np.int64))
+    mx = np.maximum(ai, aq)
+    mn = np.minimum(ai, aq)
+    return mx + (mn >> 2) + (mn >> 3)
+
+
+# ---------------------------------------------------------------------------
+# 2D OS-CFAR (rtl/src/os_cfar_2d.vhd)
+# ---------------------------------------------------------------------------
+
+def _window_offsets(cfar: CfarParams):
+    """(dr, dd) offsets of the reference (training) cells relative to the CUT,
+    in the reference's gather order: Doppler-major, range-minor, skipping the
+    guard region (os_cfar_2d.vhd:155-167)."""
+    offs = []
+    for d in range(cfar.win_doppler):
+        for r in range(cfar.win_range):
+            d_dist = abs(d - (cfar.ref_doppler + cfar.guard_doppler))
+            r_dist = abs(r - (cfar.ref_range + cfar.guard_range))
+            if d_dist <= cfar.guard_doppler and r_dist <= cfar.guard_range:
+                continue
+            offs.append((r - (cfar.ref_range + cfar.guard_range),
+                         d - (cfar.ref_doppler + cfar.guard_doppler)))
+    assert len(offs) == cfar.n_ref
+    return offs
+
+
+def _gather_refs(mag_map: np.ndarray, cfar: CfarParams) -> np.ndarray:
+    """Stack the n_ref training cells for every CUT: (n_ref, R, D)."""
+    m = np.asarray(mag_map, dtype=np.int64)
+    if cfar.edge_mode == "wrap":
+        shifted = [np.roll(m, (-dr, -dd), axis=(0, 1))
+                   for dr, dd in _window_offsets(cfar)]
+    elif cfar.edge_mode == "reflect":
+        hr, hd = cfar.halo_range, cfar.halo_doppler
+        mp = np.pad(m, ((hr, hr), (hd, hd)), mode="reflect")
+        shifted = [mp[hr + dr: hr + dr + m.shape[0],
+                      hd + dd: hd + dd + m.shape[1]]
+                   for dr, dd in _window_offsets(cfar)]
+    else:
+        raise ValueError(cfar.edge_mode)
+    return np.stack(shifted, axis=0)
+
+
+def cfar_threshold_stats(mag_map: np.ndarray, cfar: CfarParams):
+    """Per-cell (ranked_or_estimate, mean) used by thresholding.
+
+    For the "os" variant the estimate is the rank_idx-th ascending order
+    statistic of the n_ref training cells (os_cfar_2d.vhd:172-183).  For the
+    cell-averaging family: "ca" = mean of all training cells; "go"/"so" =
+    greater/smaller of the leading/lagging half-window means (the classic
+    GO/SO-CFAR split along the range axis).
+    """
+    refs = _gather_refs(mag_map, cfar)
+    mean = np.sum(refs, axis=0) // cfar.n_ref  # truncating (os_cfar_2d.vhd:189)
+    if cfar.variant == "os":
+        part = np.partition(refs, cfar.rank_idx, axis=0)
+        est = part[cfar.rank_idx]
+    elif cfar.variant == "ca":
+        est = mean
+    elif cfar.variant in ("go", "so"):
+        offs = np.array(_window_offsets(cfar))
+        lead = refs[offs[:, 0] < 0]
+        lag = refs[offs[:, 0] > 0]
+        m_lead = np.sum(lead, axis=0) // max(len(lead), 1)
+        m_lag = np.sum(lag, axis=0) // max(len(lag), 1)
+        est = (np.maximum if cfar.variant == "go" else np.minimum)(m_lead, m_lag)
+    else:
+        raise ValueError(cfar.variant)
+    return est, mean
+
+
+def cfar_scale(est: np.ndarray, mean: np.ndarray, cfar: CfarParams,
+               scale_override: int = 0) -> np.ndarray:
+    """Adaptive threshold scale selection (os_cfar_2d.vhd:187-199):
+    estimate > 1.5*mean -> scale_max (high clutter); estimate < 0.5*mean ->
+    scale_min (uniform noise); else scale_nom.  Non-zero override wins."""
+    if scale_override != 0:
+        return np.full_like(est, int(scale_override))
+    hi = est > mean + (mean >> 1)
+    lo = est < (mean >> 1)
+    return np.where(hi, cfar.scale_max, np.where(lo, cfar.scale_min, cfar.scale_nom))
+
+
+def os_cfar_2d(mag_map: np.ndarray, cfar: CfarParams, scale_override: int = 0,
+               return_debug: bool = False):
+    """Full 2D CFAR over a (n_range, n_doppler) magnitude map.
+
+    Returns the zero-suppressed detection map: cell magnitude where
+    CUT > threshold, else 0 (os_cfar_2d.vhd:204-217).  With
+    ``return_debug``, also returns (threshold, scale) maps — the dbg_threshold/
+    dbg_scale taps of os_cfar_2d.vhd:219-220.
+    """
+    m = np.asarray(mag_map, dtype=np.int64)
+    est, mean = cfar_threshold_stats(m, cfar)
+    scale = cfar_scale(est, mean, cfar, scale_override)
+    threshold = est * scale
+    out = np.where(m > threshold, m, 0)
+    if return_debug:
+        return out, threshold, scale
+    return out
+
+
+def peak_group(det_map: np.ndarray, radius: int = 1) -> np.ndarray:
+    """Peak grouping: keep only detections that are the local maximum of the
+    detection map within a (2*radius+1)^2 neighborhood (wrap edges).
+
+    The reference emits every CFAR-passing cell (rtl/src/radar_core.vhd:413-418),
+    so a single target paints a cluster of detections (873 raw detections for a
+    handful of targets in the checked-in quick scenario); grouping collapses
+    each cluster to its peak.  Ties break toward the lower (range, doppler)
+    index so exactly one cell per tied plateau survives.
+    """
+    m = np.asarray(det_map, dtype=np.int64)
+    best = np.full_like(m, np.iinfo(np.int64).min)
+    r_ids = np.arange(m.shape[0])[:, None] * m.shape[1] + np.arange(m.shape[1])
+    best_id = np.zeros_like(m)
+    for dr in range(-radius, radius + 1):
+        for dd in range(-radius, radius + 1):
+            nb = np.roll(m, (-dr, -dd), axis=(0, 1))
+            nb_id = np.roll(r_ids, (-dr, -dd), axis=(0, 1))
+            take = (nb > best) | ((nb == best) & (nb_id < best_id))
+            best = np.where(take, nb, best)
+            best_id = np.where(take, nb_id, best_id)
+    keep = (m > 0) & (best == m) & (best_id == r_ids)
+    return np.where(keep, m, 0)
+
+
+def extract_detections(det_map: np.ndarray):
+    """Zero-suppressed detection list in stream order — Doppler-fast,
+    range-slow, matching the reference's coordinate counters
+    (rtl/src/radar_core.vhd:396-418).  Returns (range_bin, doppler_bin, mag)
+    int arrays."""
+    m = np.asarray(det_map)
+    r, d = np.nonzero(m)
+    order = np.lexsort((d, r))
+    return r[order], d[order], m[r[order], d[order]]
