@@ -1,0 +1,149 @@
+"""Single-chip radar pipeline — the framework's "model".
+
+TPU-native equivalent of the reference top (rtl/src/radar_core.vhd:267-418):
+one jitted array program per frame instead of nine streaming AXI stages.
+
+    window -> range FFT -> corner turn -> MTI -> window -> Doppler FFT
+           -> magnitude -> 2D CFAR -> (peak group) -> top-K detections
+
+Two numeric modes:
+
+* ``float32`` (production): windows folded into the DFT matmuls (MXU), float
+  MTI/magnitude/CFAR.  Fastest path; full dynamic range (no BFP compression).
+* ``fixed`` (parity): bit-faithful int16/int32 emulation of the reference's
+  inter-stage formats — integer windows with saturation counters, per-
+  transform BFP quantization, saturating MTI, integer magnitude and CFAR.
+  Matches golden/reference.process_frame_fixed to <=1 LSB per FFT stage.
+
+Runtime controls are traced arguments (mti_bypass, cfar_scale_override) —
+the radar_core control ports (rtl/src/radar_core.vhd:48-49); shape/static
+config lives in RadarParams (the generics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import RadarParams
+from ..ops import window as W, fft as F, notch as N, magnitude as M
+from ..ops import cfar as C, detect as DET
+
+
+def complex_to_iq(frame: np.ndarray) -> np.ndarray:
+    """Pack a complex frame into the ingest format: int16 (..., 2) I/Q pairs
+    (== the reference's 32-bit interleaved s_axis_tdata, radar_core.vhd:26)."""
+    z = np.asarray(frame)
+    return np.stack([z.real, z.imag], axis=-1).astype(np.int16)
+
+
+def make_processor(params: RadarParams | None = None, mode: str = "float32",
+                   fft_method: str = "matmul",
+                   precision=jax.lax.Precision.HIGHEST,
+                   window_rounding: str = "unbiased",
+                   mti_transient: str = "zero",
+                   peak_group_radius: int = 0,
+                   magnitude_exact: bool = False,
+                   include_maps: bool = True) -> Callable:
+    """Build the jitted single-frame processor.
+
+    Returned callable: ``fn(iq, mti_bypass=False, scale_override=0) -> dict``
+    with iq int16[(n_doppler, n_range, 2)].  Output dict:
+
+      mag_map   (n_range, n_doppler) magnitude map   [if include_maps]
+      det_map   zero-suppressed CFAR output          [if include_maps]
+      range_bin/doppler_bin/mag/valid  top-K detection arrays
+      n_dets    total CFAR detection count
+      saturation_count  windowed-sample saturations (fixed mode; 0 in float)
+    """
+    p = params or RadarParams()
+    max_dets = p.tracker.max_dets
+
+    def float_path(iq, mti_bypass, scale_override):
+        re = iq[..., 0].astype(jnp.float32)
+        im = iq[..., 1].astype(jnp.float32)
+        # Range window+FFT fused into one MXU GEMM per component.
+        re, im = F.fft_apply(re, im, axis=1, window=True, method=fft_method,
+                             precision=precision)
+        # Corner turn: chirp-major -> range-major.  On one chip this folds
+        # into the next matmul's layout; across chips it is the all_to_all
+        # (parallel/sharded.py).
+        re, im = re.T, im.T
+        re, im = N.mti_notch_float(re, im, axis=1, mode=p.notch_mode,
+                                   bypass=mti_bypass, transient=mti_transient)
+        re, im = F.fft_apply(re, im, axis=1, window=True, method=fft_method,
+                             precision=precision)
+        mag = M.magnitude_float(re, im, exact=magnitude_exact)
+        det, threshold, scale = C.cfar_2d(mag, scale_override, cfar=p.cfar,
+                                          integer=False)
+        return mag, det, jnp.int32(0)
+
+    def fixed_path(iq, mti_bypass, scale_override):
+        i_v = iq[..., 0].astype(jnp.int32)
+        q_v = iq[..., 1].astype(jnp.int32)
+        cr = W.hamming_q15(p.n_range, p.coef_width)
+        i_v, q_v, s1 = W.window_apply_fixed(i_v, q_v, cr[None, :],
+                                            p.coef_width, window_rounding)
+        re, im = F.fft_apply(i_v.astype(jnp.float32), q_v.astype(jnp.float32),
+                             axis=1, method=fft_method, precision=precision)
+        re, im = F.bfp_quantize(re, im, axis=1)
+        i_v, q_v = re.astype(jnp.int32).T, im.astype(jnp.int32).T
+        i_v, q_v = N.mti_notch_fixed(i_v, q_v, axis=1, mode=p.notch_mode,
+                                     bypass=mti_bypass, transient=mti_transient)
+        cd = W.hamming_q15(p.n_doppler, p.coef_width)
+        i_v, q_v, s2 = W.window_apply_fixed(i_v, q_v, cd[None, :],
+                                            p.coef_width, window_rounding)
+        re, im = F.fft_apply(i_v.astype(jnp.float32), q_v.astype(jnp.float32),
+                             axis=1, method=fft_method, precision=precision)
+        re, im = F.bfp_quantize(re, im, axis=1)
+        mag = M.magnitude_fixed(re.astype(jnp.int32), im.astype(jnp.int32))
+        det, threshold, scale = C.cfar_2d(mag, scale_override, cfar=p.cfar,
+                                          integer=True)
+        return mag, det, (s1 + s2).astype(jnp.int32)
+
+    path = {"float32": float_path, "fixed": fixed_path}[mode]
+
+    @jax.jit
+    def _process(iq, mti_bypass, scale_override):
+        mag, det, sat = path(iq, mti_bypass, scale_override)
+        if peak_group_radius > 0:
+            det = C.peak_group(det, radius=peak_group_radius)
+        out = DET.topk_detections(det, max_dets=max_dets)
+        out["saturation_count"] = sat
+        if include_maps:
+            out["mag_map"] = mag
+            out["det_map"] = det
+        return out
+
+    def process(iq, mti_bypass=False, scale_override=0):
+        if iq.shape[-3:] != (p.n_doppler, p.n_range, 2):
+            raise ValueError(
+                f"expected iq frame of shape (n_doppler={p.n_doppler}, "
+                f"n_range={p.n_range}, 2), got {iq.shape}")
+        # Controls become device arrays *outside* the jit boundary so every
+        # control value reuses one compiled executable (Python scalars would
+        # be hashed as static constants and recompile per value).
+        return _process(iq, jnp.asarray(mti_bypass, dtype=jnp.bool_),
+                        jnp.asarray(scale_override, dtype=jnp.int32))
+
+    process.jitted = _process
+    return process
+
+
+def make_batch_processor(params: RadarParams | None = None, **kw) -> Callable:
+    """vmapped multi-frame processor: iq int16[(batch, n_doppler, n_range, 2)]
+    -> dict of batched outputs.  Data parallelism over frames on one chip;
+    shard the batch axis over a mesh for multi-chip DP (parallel/sharded.py)."""
+    single = make_processor(params, **kw)
+    batched = jax.jit(jax.vmap(single.jitted, in_axes=(0, None, None)))
+
+    def process(iq, mti_bypass=False, scale_override=0):
+        return batched(iq, jnp.asarray(mti_bypass, dtype=jnp.bool_),
+                       jnp.asarray(scale_override, dtype=jnp.int32))
+
+    process.jitted = batched
+    return process

@@ -1,0 +1,164 @@
+"""2D CFAR detection kernels (JAX).
+
+TPU-native reformulation of rtl/src/os_cfar_2d.vhd.  The reference streams one
+cell per clock through a line buffer + 2D shift register and bubble-sorts the
+128 training cells per cell (the design's computational hot spot, SURVEY.md
+CS-1).  Here the whole (n_range, n_doppler) map is processed at once:
+
+* the sliding window becomes ``n_ref`` shifted views of the (circularly or
+  reflect-) padded map, stacked on a trailing axis — XLA turns these into
+  cheap fused slices;
+* the rank selection becomes ``lax.top_k`` over the trailing axis (the
+  rank_idx-th ascending order statistic is the (n_ref - rank_idx)-th largest);
+* window sums for the adaptive-scale mean and the CA/GO/SO variants use
+  separable box sums (two 1D passes), never materializing per-cell windows.
+
+All variants share the adaptive threshold scaling of os_cfar_2d.vhd:187-199
+and the runtime scale_override control port.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import CfarParams
+from ..golden.fixed_point import _window_offsets
+
+
+def _pad2d(m: jnp.ndarray, hr: int, hd: int, edge_mode: str) -> jnp.ndarray:
+    if edge_mode == "wrap":
+        return jnp.pad(m, ((hr, hr), (hd, hd)), mode="wrap")
+    if edge_mode == "reflect":
+        return jnp.pad(m, ((hr, hr), (hd, hd)), mode="reflect")
+    raise ValueError(edge_mode)
+
+
+def _box1d(p: jnp.ndarray, win: int, axis: int) -> jnp.ndarray:
+    """Sum over a length-``win`` sliding window along ``axis`` of an array
+    already padded by the half-window on each side; output has the unpadded
+    extent.  Unrolled as ``win`` shifted slices — XLA fuses them."""
+    out_len = p.shape[axis] - win + 1
+    sl = [slice(None)] * p.ndim
+    acc = None
+    for k in range(win):
+        sl[axis] = slice(k, k + out_len)
+        piece = p[tuple(sl)]
+        acc = piece if acc is None else acc + piece
+    return acc
+
+
+def _box2d_sum(padded: jnp.ndarray, win_r: int, win_d: int) -> jnp.ndarray:
+    return _box1d(_box1d(padded, win_r, 0), win_d, 1)
+
+
+def _ref_stack(m: jnp.ndarray, cfar: CfarParams) -> jnp.ndarray:
+    """(R, D, n_ref) stack of the training cells for every CUT."""
+    hr, hd = cfar.halo_range, cfar.halo_doppler
+    p = _pad2d(m, hr, hd, cfar.edge_mode)
+    R, D = m.shape
+    views = [jax.lax.dynamic_slice(p, (hr + dr, hd + dd), (R, D))
+             for dr, dd in _window_offsets(cfar)]
+    return jnp.stack(views, axis=-1)
+
+
+def _ref_sums(m: jnp.ndarray, cfar: CfarParams):
+    """(sum_refs, sum_lead, sum_lag): training-cell sums via separable box
+    sums — full window minus guard window; lead/lag are the half-windows on
+    the low/high range side of the CUT (for GO/SO)."""
+    hr, hd = cfar.halo_range, cfar.halo_doppler
+    p = _pad2d(m, hr, hd, cfar.edge_mode)
+    full = _box2d_sum(p, cfar.win_range, cfar.win_doppler)
+    gr, gd = cfar.guard_range, cfar.guard_doppler
+    pg = p[hr - gr: p.shape[0] - (hr - gr), hd - gd: p.shape[1] - (hd - gd)]
+    guard = _box2d_sum(pg, 2 * gr + 1, 2 * gd + 1)
+    sum_refs = full - guard
+
+    # Lead/lag half windows along range: rows [-hr, -gr-1] and [gr+1, hr].
+    n_half = cfar.ref_range * cfar.win_doppler
+    cols = _box1d(p, cfar.win_doppler, 1)  # (R + 2*hr, D)
+    R = m.shape[0]
+    lead = _box1d(cols[: R + hr - gr - 1], cfar.ref_range, 0)[:R]
+    lag = _box1d(cols[hr + gr + 1:], cfar.ref_range, 0)[:R]
+    return sum_refs, lead, lag, n_half
+
+
+def _order_statistic(refs: jnp.ndarray, rank_idx: int) -> jnp.ndarray:
+    """rank_idx-th ascending order statistic over the trailing axis via
+    top_k of the (n_ref - rank_idx) largest (os_cfar_2d.vhd:172-183)."""
+    n_ref = refs.shape[-1]
+    k = n_ref - rank_idx
+    top, _ = jax.lax.top_k(refs, k)
+    return top[..., k - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("cfar", "integer"))
+def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
+            cfar: CfarParams = CfarParams(), integer: bool = False):
+    """2D CFAR over a (n_range, n_doppler) magnitude map.
+
+    Returns (det_map, threshold, scale): the zero-suppressed detection map
+    (cell value where CUT > threshold else 0, os_cfar_2d.vhd:204-217) plus the
+    dbg_threshold/dbg_scale debug taps (os_cfar_2d.vhd:219-220).
+
+    ``scale_override`` is a traced runtime control (0 = auto, cf. the
+    cfar_scale_ovr port radar_core.vhd:49).  ``integer=True`` reproduces the
+    golden fixed-point arithmetic (truncating mean, integer threshold).
+    """
+    m = mag_map
+    so = jnp.asarray(scale_override)
+
+    if cfar.variant == "os":
+        refs = _ref_stack(m, cfar)
+        est = _order_statistic(refs, cfar.rank_idx)
+        sum_refs = jnp.sum(refs, axis=-1)
+    else:
+        sum_refs, lead, lag, n_half = _ref_sums(m, cfar)
+        if cfar.variant == "ca":
+            est = sum_refs // cfar.n_ref if integer else sum_refs / cfar.n_ref
+        else:
+            ml = lead // n_half if integer else lead / n_half
+            mg = lag // n_half if integer else lag / n_half
+            est = jnp.maximum(ml, mg) if cfar.variant == "go" else jnp.minimum(ml, mg)
+
+    if integer:
+        mean = sum_refs // cfar.n_ref
+        hi = est > mean + (mean >> 1)
+        lo = est < (mean >> 1)
+    else:
+        mean = sum_refs / cfar.n_ref
+        hi = est > 1.5 * mean
+        lo = est < 0.5 * mean
+
+    scale = jnp.where(hi, cfar.scale_max, jnp.where(lo, cfar.scale_min,
+                                                    cfar.scale_nom))
+    scale = jnp.where(so != 0, so, scale).astype(m.dtype)
+    threshold = est * scale
+    det = jnp.where(m > threshold, m, jnp.zeros_like(m))
+    return det, threshold, scale
+
+
+def peak_group(det_map: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
+    """Peak grouping: keep detections that are the strict local max of their
+    (2r+1)^2 neighborhood, ties broken toward the lower linear index (matches
+    golden fixed_point.peak_group)."""
+    m = det_map
+    R, D = m.shape
+    p = jnp.pad(m, ((radius, radius), (radius, radius)), mode="wrap")
+    ids = (jnp.arange(R)[:, None] * D + jnp.arange(D)[None, :])
+    pid = jnp.pad(ids, ((radius, radius), (radius, radius)), mode="wrap")
+    best = jnp.full_like(m, jnp.iinfo(jnp.int32).min if
+                         jnp.issubdtype(m.dtype, jnp.integer) else -jnp.inf)
+    best_id = jnp.zeros_like(ids)
+    for dr in range(2 * radius + 1):
+        for dd in range(2 * radius + 1):
+            nb = jax.lax.dynamic_slice(p, (dr, dd), (R, D))
+            nid = jax.lax.dynamic_slice(pid, (dr, dd), (R, D))
+            take = (nb > best) | ((nb == best) & (nid < best_id))
+            best = jnp.where(take, nb, best)
+            best_id = jnp.where(take, nid, best_id)
+    keep = (m > 0) & (best == m) & (best_id == ids)
+    return jnp.where(keep, m, jnp.zeros_like(m))

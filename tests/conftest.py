@@ -2,14 +2,21 @@
 
 Tests never require TPU hardware: JAX runs on CPU with 8 virtual devices so
 the multi-chip sharding layer (mesh + all_to_all corner turn + CFAR halo
-exchange) is exercised exactly as the driver's dryrun does.  Must run before
-jax is imported anywhere.
+exchange) is exercised exactly as the driver's dryrun does.
+
+The container's sitecustomize registers the axon TPU plugin and pins
+JAX_PLATFORMS=axon before pytest starts, so env vars alone don't stick —
+XLA_FLAGS must be set before backend init and jax_platforms overridden via
+the config API.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
