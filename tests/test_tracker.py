@@ -1,0 +1,149 @@
+"""TWS tracker tests: golden-model scenario (mirroring tb_tws_tracker.vhd)
+plus bit-exact cross-check of the JAX tracker against the golden model under
+randomized detection streams."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fmcw_tpu import TrackerParams
+from fmcw_tpu.golden import tracker as gt
+from fmcw_tpu.models import tracker as jt
+
+TP = TrackerParams()
+
+
+def run_tb_scenario(num_scans=14):
+    """The tb_tws_tracker.vhd:100-180 scenario: target 1 approaching 5 bins/
+    scan from R=200 D=40; target 2 steady at R=600 D=80; target 3 present
+    scans 4-7; a false alarm every 3rd scan."""
+    state = gt.init_state(TP)
+    log = []
+    for scan in range(1, num_scans + 1):
+        dets = []
+        t1_r = 200 - (scan - 1) * 5
+        if t1_r > 0:
+            dets.append((t1_r, 40, 5000))
+        dets.append((600, 80, 8000))
+        if 4 <= scan <= 7:
+            dets.append((400 + (scan - 4) * 3, 60, 3000))
+        if scan % 3 == 0:
+            dets.append((900, 10, 2000))
+        r, d, m = zip(*dets)
+        state, rep = gt.step(state, r, d, m, TP)
+        log.append((scan, rep))
+    return state, log
+
+
+def test_scenario_track_lifecycle():
+    _, log = run_tb_scenario()
+    by_scan = dict((s, r) for s, r in log)
+    # Scan 2: two tentative tracks active (tb asserts >= 2).
+    assert by_scan[2]["active_tracks"] >= 2
+    # Tentative tracks are not reported.
+    assert len(by_scan[1]["id"]) == 0
+    # Scan 3: both targets firm ("3rd hit" confirmation) and reported.
+    assert len(by_scan[3]["id"]) >= 2
+    assert all(st == gt.FIRM for st in by_scan[3]["status"][:2])
+    # Scan 6: three targets active (target 3 initiated scans 4-5).
+    assert by_scan[6]["active_tracks"] >= 3
+    # Target 3 (last hit scan 7) coasts through scan 12 and drops on its 6th
+    # consecutive miss at scan 13 (old miss_count >= COAST_MAX, the VHDL
+    # pre-increment compare).  By scan 14 only targets 1, 2 and the scan-12
+    # false alarm remain.  (The reference TB's scan-11 check is a WARN only —
+    # the hardware behaves identically.)
+    assert by_scan[12]["active_tracks"] == 4
+    assert by_scan[13]["active_tracks"] <= 4
+    assert by_scan[14]["active_tracks"] == 3
+
+
+def test_scenario_track_kinematics():
+    _, log = run_tb_scenario()
+    rep = dict(log)[14]
+    # Track of target 1: position ~ (200 - 13*5) = 135 in Q2 = 580; the
+    # alpha-beta filter converges to the moving target within the gate.
+    r_q2 = rep["range_pos"]
+    t1 = r_q2[np.argmin(np.abs(r_q2 - 135 * 4))]
+    assert abs(t1 - 135 * 4) <= 8  # within 2 bins
+    # Velocity estimate approaches -5 bins/scan = -20 Q2/scan.
+    v = rep["range_vel"][np.argmin(np.abs(r_q2 - 135 * 4))]
+    assert -24 <= v <= -12
+
+
+def test_coordinate_wrap_semantics():
+    # Range bin >= 512 wraps negative in the 12-bit Q2 registers but tracking
+    # is self-consistent (tws_tracker.vhd:166-169,188-189).
+    state = gt.init_state(TP)
+    for _ in range(4):
+        state, rep = gt.step(state, [1000], [118], [5000], TP)
+    assert rep["active_tracks"] == 1
+    assert len(rep["id"]) == 1
+    assert rep["range_pos"][0] == 1000 * 4 - 4096  # two's complement
+    assert rep["dopp_pos"][0] == 118 * 4 - 512     # negative Doppler
+
+
+def test_capacity_and_overflow():
+    # 40 unassociated dets/scan: track file saturates at MAX_TRACKS.
+    state = gt.init_state(TP)
+    r = np.arange(40) * 25
+    state, rep = gt.step(state, r, np.full(40, 30), np.full(40, 1000), TP)
+    assert rep["active_tracks"] == 32
+    # Next scan, different positions: the 32 existing tracks miss (gate),
+    # 8 new dets can't initiate (file full until drops).
+    state, rep = gt.step(state, r + 500, np.full(40, 30), np.full(40, 1000), TP)
+    assert rep["active_tracks"] == 32
+
+
+def _random_stream(seed, scans=20, max_range=1024, max_dopp=128):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(scans):
+        k = rng.integers(0, 12)
+        out.append((rng.integers(0, max_range, k), rng.integers(0, max_dopp, k),
+                    rng.integers(1, 1 << 17, k)))
+    return out
+
+
+def _jax_step_inputs(r, d, m, cap):
+    k = len(r)
+    pad = cap - k
+    dr = jnp.asarray(np.pad(np.asarray(r, np.int32), (0, pad)))
+    dd = jnp.asarray(np.pad(np.asarray(d, np.int32), (0, pad)))
+    dm = jnp.asarray(np.pad(np.asarray(m, np.int32), (0, pad)))
+    dv = jnp.asarray(np.arange(cap) < k)
+    return dr, dd, dm, dv
+
+
+def test_jax_tracker_matches_golden_fuzz():
+    for seed in range(3):
+        stream = _random_stream(seed)
+        gs = gt.init_state(TP)
+        js = jt.init_state(TP)
+        for (r, d, m) in stream:
+            gs, grep = gt.step(gs, r, d, m, TP)
+            js, jrep = jt.step(js, *_jax_step_inputs(r, d, m, TP.max_dets),
+                               tp=TP)
+            for key in gs:
+                assert np.array_equal(np.asarray(js[key]), gs[key]), (
+                    seed, key, np.asarray(js[key]), gs[key])
+            assert int(jrep["active_tracks"]) == grep["active_tracks"]
+            jids = np.nonzero(np.asarray(jrep["report_mask"]))[0]
+            assert np.array_equal(jids, grep["id"])
+
+
+def test_jax_run_scans_scan_loop():
+    # Multi-scan lax.scan driver gives the same trajectory as step-by-step.
+    stream = _random_stream(7, scans=8)
+    cap = TP.max_dets
+    drs, dds, dms, dvs = [], [], [], []
+    for (r, d, m) in stream:
+        a, b, c, v = _jax_step_inputs(r, d, m, cap)
+        drs.append(a); dds.append(b); dms.append(c); dvs.append(v)
+    final, reps = jt.run_scans(jnp.stack(drs), jnp.stack(dds),
+                               jnp.stack(dms), jnp.stack(dvs), TP)
+    gs = gt.init_state(TP)
+    for (r, d, m) in stream:
+        gs, _ = gt.step(gs, r, d, m, TP)
+    for key in gs:
+        assert np.array_equal(np.asarray(final[key]), gs[key]), key
+    assert reps["active_tracks"].shape == (8,)
