@@ -29,11 +29,15 @@ from ..params import CfarParams
 from ..golden.fixed_point import _window_offsets
 
 
-def _pad2d(m: jnp.ndarray, hr: int, hd: int, edge_mode: str) -> jnp.ndarray:
-    if edge_mode == "wrap":
-        return jnp.pad(m, ((hr, hr), (hd, hd)), mode="wrap")
-    if edge_mode == "reflect":
-        return jnp.pad(m, ((hr, hr), (hd, hd)), mode="reflect")
+def _pad2d(m: jnp.ndarray, hr: int, hd: int, edge_mode: str,
+           prepadded_range: bool = False) -> jnp.ndarray:
+    """Pad the map by the window halo.  With ``prepadded_range`` the caller
+    already supplied ``hr`` extra rows on each side (e.g. a cross-shard halo
+    exchange — parallel/sharded.py) and only the Doppler axis is padded."""
+    if prepadded_range:
+        return jnp.pad(m, ((0, 0), (hd, hd)), mode=edge_mode)
+    if edge_mode in ("wrap", "reflect"):
+        return jnp.pad(m, ((hr, hr), (hd, hd)), mode=edge_mode)
     raise ValueError(edge_mode)
 
 
@@ -55,22 +59,24 @@ def _box2d_sum(padded: jnp.ndarray, win_r: int, win_d: int) -> jnp.ndarray:
     return _box1d(_box1d(padded, win_r, 0), win_d, 1)
 
 
-def _ref_stack(m: jnp.ndarray, cfar: CfarParams) -> jnp.ndarray:
+def _ref_stack(m: jnp.ndarray, cfar: CfarParams,
+               prepadded_range: bool = False) -> jnp.ndarray:
     """(R, D, n_ref) stack of the training cells for every CUT."""
     hr, hd = cfar.halo_range, cfar.halo_doppler
-    p = _pad2d(m, hr, hd, cfar.edge_mode)
-    R, D = m.shape
+    p = _pad2d(m, hr, hd, cfar.edge_mode, prepadded_range)
+    R = m.shape[0] - 2 * hr if prepadded_range else m.shape[0]
+    D = m.shape[1]
     views = [jax.lax.dynamic_slice(p, (hr + dr, hd + dd), (R, D))
              for dr, dd in _window_offsets(cfar)]
     return jnp.stack(views, axis=-1)
 
 
-def _ref_sums(m: jnp.ndarray, cfar: CfarParams):
+def _ref_sums(m: jnp.ndarray, cfar: CfarParams, prepadded_range: bool = False):
     """(sum_refs, sum_lead, sum_lag): training-cell sums via separable box
     sums — full window minus guard window; lead/lag are the half-windows on
     the low/high range side of the CUT (for GO/SO)."""
     hr, hd = cfar.halo_range, cfar.halo_doppler
-    p = _pad2d(m, hr, hd, cfar.edge_mode)
+    p = _pad2d(m, hr, hd, cfar.edge_mode, prepadded_range)
     full = _box2d_sum(p, cfar.win_range, cfar.win_doppler)
     gr, gd = cfar.guard_range, cfar.guard_doppler
     pg = p[hr - gr: p.shape[0] - (hr - gr), hd - gd: p.shape[1] - (hd - gd)]
@@ -80,7 +86,7 @@ def _ref_sums(m: jnp.ndarray, cfar: CfarParams):
     # Lead/lag half windows along range: rows [-hr, -gr-1] and [gr+1, hr].
     n_half = cfar.ref_range * cfar.win_doppler
     cols = _box1d(p, cfar.win_doppler, 1)  # (R + 2*hr, D)
-    R = m.shape[0]
+    R = m.shape[0] - 2 * hr if prepadded_range else m.shape[0]
     lead = _box1d(cols[: R + hr - gr - 1], cfar.ref_range, 0)[:R]
     lag = _box1d(cols[hr + gr + 1:], cfar.ref_range, 0)[:R]
     return sum_refs, lead, lag, n_half
@@ -95,9 +101,11 @@ def _order_statistic(refs: jnp.ndarray, rank_idx: int) -> jnp.ndarray:
     return top[..., k - 1]
 
 
-@functools.partial(jax.jit, static_argnames=("cfar", "integer"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfar", "integer", "prepadded_range"))
 def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
-            cfar: CfarParams = CfarParams(), integer: bool = False):
+            cfar: CfarParams = CfarParams(), integer: bool = False,
+            prepadded_range: bool = False):
     """2D CFAR over a (n_range, n_doppler) magnitude map.
 
     Returns (det_map, threshold, scale): the zero-suppressed detection map
@@ -107,16 +115,20 @@ def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     ``scale_override`` is a traced runtime control (0 = auto, cf. the
     cfar_scale_ovr port radar_core.vhd:49).  ``integer=True`` reproduces the
     golden fixed-point arithmetic (truncating mean, integer threshold).
+
+    ``prepadded_range=True``: the input already carries halo_range extra rows
+    on each side (cross-shard halo exchange); outputs have the unpadded row
+    count.
     """
     m = mag_map
     so = jnp.asarray(scale_override)
 
     if cfar.variant == "os":
-        refs = _ref_stack(m, cfar)
+        refs = _ref_stack(m, cfar, prepadded_range)
         est = _order_statistic(refs, cfar.rank_idx)
         sum_refs = jnp.sum(refs, axis=-1)
     else:
-        sum_refs, lead, lag, n_half = _ref_sums(m, cfar)
+        sum_refs, lead, lag, n_half = _ref_sums(m, cfar, prepadded_range)
         if cfar.variant == "ca":
             est = sum_refs // cfar.n_ref if integer else sum_refs / cfar.n_ref
         else:
@@ -137,7 +149,8 @@ def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
                                                     cfar.scale_nom))
     scale = jnp.where(so != 0, so, scale).astype(m.dtype)
     threshold = est * scale
-    det = jnp.where(m > threshold, m, jnp.zeros_like(m))
+    cut = m[cfar.halo_range:-cfar.halo_range] if prepadded_range else m
+    det = jnp.where(cut > threshold, cut, jnp.zeros_like(cut))
     return det, threshold, scale
 
 

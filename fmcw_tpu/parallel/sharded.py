@@ -1,0 +1,188 @@
+"""Multi-chip radar pipeline: shard_map over a ('dp', 'sp') mesh.
+
+The reference's single-chip dataflow maps onto the mesh as (SURVEY.md §2d):
+
+* frames  -> ``dp`` axis (batch data parallelism);
+* within a frame, the **corner turn becomes an all-to-all**: chirps are
+  sharded over ``sp`` for the range FFT, then ``lax.all_to_all`` redistributes
+  so each chip holds a contiguous block of range bins for the MTI/Doppler/
+  magnitude stages (the TPU realization of the ping-pong BRAM transpose,
+  rtl/src/corner_turner.vhd:79-117 — the frame barrier of SURVEY.md CS-2);
+* the CFAR training window needs halo_range rows from both range-neighbors:
+  a **ppermute ring halo exchange** supplies them (the torus edge semantics
+  match the single-chip "wrap" CFAR bit-for-bit);
+* detections: each chip extracts its local top-K with globally-offset range
+  coordinates, then an all_gather + global top-K reproduces the single-chip
+  detection list on every chip.
+
+Outputs are replicated across the mesh (identical to the single-chip result;
+verified bit-exact in tests/test_sharded.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..params import RadarParams
+from ..ops import window as W, fft as F, notch as N, magnitude as M
+from ..ops import cfar as C, detect as DET
+
+
+def _halo_exchange_rows(m: jnp.ndarray, h: int, axis_name: str) -> jnp.ndarray:
+    """Circular halo exchange: prepend the previous shard's last ``h`` rows
+    and append the next shard's first ``h`` rows (ring ppermute over the
+    ``sp`` axis — the reference's line-buffer wrap-around at frame edges)."""
+    n = jax.lax.axis_size(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]   # data moves to next shard
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    top = jax.lax.ppermute(m[-h:], axis_name, fwd)   # becomes upper halo
+    bot = jax.lax.ppermute(m[:h], axis_name, bwd)    # becomes lower halo
+    return jnp.concatenate([top, m, bot], axis=0)
+
+
+def make_sharded_processor(mesh: jax.sharding.Mesh,
+                           params: RadarParams | None = None,
+                           mode: str = "float32",
+                           fft_method: str = "matmul",
+                           precision=jax.lax.Precision.HIGHEST,
+                           window_rounding: str = "unbiased",
+                           mti_transient: str = "zero",
+                           peak_group_radius: int = 0,
+                           magnitude_exact: bool = False,
+                           include_maps: bool = False):
+    """Build the sharded frame-batch processor.
+
+    Returned callable: ``fn(iq, mti_bypass=False, scale_override=0) -> dict``
+    with iq int16[(batch, n_doppler, n_range, 2)], batch divisible by the dp
+    axis, n_doppler and n_range divisible by the sp axis.  Detection outputs
+    are replicated; map outputs (include_maps) come back range-sharded over sp
+    and batch-sharded over dp.
+    """
+    p = params or RadarParams()
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    if p.n_doppler % sp or p.n_range % sp:
+        raise ValueError(f"n_doppler={p.n_doppler} and n_range={p.n_range} "
+                         f"must divide the sp axis ({sp})")
+    max_dets = p.tracker.max_dets
+    nr_local = p.n_range // sp
+    hr = p.cfar.halo_range
+
+    def frame_fn(iq, mti_bypass, scale_override):
+        """Per-(dp-shard, sp-shard) single-frame body.  iq local shape:
+        (n_doppler/sp, n_range, 2)."""
+        sp_idx = jax.lax.axis_index("sp")
+
+        if mode == "float32":
+            re = iq[..., 0].astype(jnp.float32)
+            im = iq[..., 1].astype(jnp.float32)
+            # Range window+FFT on the local chirp block (full range axis).
+            re, im = F.fft_apply(re, im, axis=1, window=True,
+                                 method=fft_method, precision=precision)
+            # Corner turn: all-to-all splits the range axis over sp and
+            # gathers all chirps; local transpose yields (nr_local, nd).
+            re, im = [jax.lax.all_to_all(x, "sp", split_axis=1, concat_axis=0,
+                                         tiled=True).T for x in (re, im)]
+            re, im = N.mti_notch_float(re, im, axis=1, mode=p.notch_mode,
+                                       bypass=mti_bypass,
+                                       transient=mti_transient)
+            re, im = F.fft_apply(re, im, axis=1, window=True,
+                                 method=fft_method, precision=precision)
+            mag = M.magnitude_float(re, im, exact=magnitude_exact)
+            sat = jnp.int32(0)
+        elif mode == "fixed":
+            i_v = iq[..., 0].astype(jnp.int32)
+            q_v = iq[..., 1].astype(jnp.int32)
+            cr = W.hamming_q15(p.n_range, p.coef_width)
+            i_v, q_v, s1 = W.window_apply_fixed(i_v, q_v, cr[None, :],
+                                                p.coef_width, window_rounding)
+            re, im = F.fft_apply(i_v.astype(jnp.float32),
+                                 q_v.astype(jnp.float32), axis=1,
+                                 method=fft_method, precision=precision)
+            re, im = F.bfp_quantize(re, im, axis=1)
+            re, im = [jax.lax.all_to_all(x, "sp", split_axis=1, concat_axis=0,
+                                         tiled=True).T for x in (re, im)]
+            i_v, q_v = re.astype(jnp.int32), im.astype(jnp.int32)
+            i_v, q_v = N.mti_notch_fixed(i_v, q_v, axis=1, mode=p.notch_mode,
+                                         bypass=mti_bypass,
+                                         transient=mti_transient)
+            cd = W.hamming_q15(p.n_doppler, p.coef_width)
+            i_v, q_v, s2 = W.window_apply_fixed(i_v, q_v, cd[None, :],
+                                                p.coef_width, window_rounding)
+            re, im = F.fft_apply(i_v.astype(jnp.float32),
+                                 q_v.astype(jnp.float32), axis=1,
+                                 method=fft_method, precision=precision)
+            re, im = F.bfp_quantize(re, im, axis=1)
+            mag = M.magnitude_fixed(re.astype(jnp.int32), im.astype(jnp.int32))
+            sat = jax.lax.psum(s1 + s2, "sp").astype(jnp.int32)
+        else:
+            raise ValueError(mode)
+
+        # CFAR with cross-shard halo (ring exchange along sp).
+        mag_h = _halo_exchange_rows(mag, hr, "sp")
+        det, _, _ = C.cfar_2d(mag_h, scale_override, cfar=p.cfar,
+                              integer=(mode == "fixed"), prepadded_range=True)
+        if peak_group_radius > 0:
+            # Peak grouping also needs neighbor context; reuse the exchange.
+            det_h = _halo_exchange_rows(det, peak_group_radius, "sp")
+            det = C.peak_group(det_h, radius=peak_group_radius)[
+                peak_group_radius:-peak_group_radius]
+
+        # Local detection extraction with global range coordinates, then
+        # gather + global top-K so every chip holds the frame's detections.
+        local = DET.topk_detections(det, max_dets=max_dets)
+        local_r = local["range_bin"] + sp_idx * nr_local
+        all_mag = jax.lax.all_gather(local["mag"], "sp", tiled=True)
+        all_r = jax.lax.all_gather(local_r, "sp", tiled=True)
+        all_d = jax.lax.all_gather(local["doppler_bin"], "sp", tiled=True)
+        vals, idx = jax.lax.top_k(all_mag, max_dets)
+        out = {
+            "range_bin": all_r[idx],
+            "doppler_bin": all_d[idx],
+            "mag": vals,
+            "valid": vals > 0,
+            "n_dets": jax.lax.psum(local["n_dets"], "sp"),
+            "saturation_count": sat,
+        }
+        if include_maps:
+            out["mag_map"] = mag
+            out["det_map"] = det
+        return out
+
+    def batch_fn(iq, mti_bypass, scale_override):
+        # iq local: (batch/dp, n_doppler/sp, n_range, 2); vmap over frames.
+        return jax.vmap(frame_fn, in_axes=(0, None, None))(
+            iq, mti_bypass, scale_override)
+
+    rep_spec = P("dp")  # detection outputs: replicated over sp, per-frame rows
+    out_specs = {
+        "range_bin": rep_spec, "doppler_bin": rep_spec, "mag": rep_spec,
+        "valid": rep_spec, "n_dets": rep_spec, "saturation_count": rep_spec,
+    }
+    if include_maps:
+        out_specs["mag_map"] = P("dp", "sp", None)
+        out_specs["det_map"] = P("dp", "sp", None)
+
+    sharded = jax.jit(jax.shard_map(
+        batch_fn, mesh=mesh,
+        in_specs=(P("dp", "sp", None, None), P(), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    ))
+
+    def process(iq, mti_bypass=False, scale_override=0):
+        if iq.ndim != 4 or iq.shape[1:] != (p.n_doppler, p.n_range, 2):
+            raise ValueError(
+                f"expected iq batch of shape (batch, {p.n_doppler}, "
+                f"{p.n_range}, 2), got {iq.shape}")
+        if iq.shape[0] % dp:
+            raise ValueError(f"batch {iq.shape[0]} not divisible by dp={dp}")
+        return sharded(iq, jnp.asarray(mti_bypass, dtype=jnp.bool_),
+                       jnp.asarray(scale_override, dtype=jnp.int32))
+
+    process.jitted = sharded
+    return process

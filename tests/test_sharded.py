@@ -1,0 +1,89 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The sharded pipeline (all-to-all corner turn + ppermute CFAR halo exchange)
+must reproduce the single-chip pipeline exactly — detection parity is the
+multi-chip correctness criterion (SURVEY.md §4, BASELINE config 3).
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from fmcw_tpu import quick
+from fmcw_tpu.golden import reference as ref
+from fmcw_tpu.models import pipeline as pl
+from fmcw_tpu.parallel import mesh as M, sharded as sh
+
+Q = quick()
+
+
+@pytest.fixture(scope="module")
+def batch():
+    frames = [ref.two_target_frame(Q, seed=s) for s in range(4)]
+    return np.stack([pl.complex_to_iq(f) for f in frames])
+
+
+def _single_reference(batch, **kw):
+    proc = pl.make_batch_processor(Q, include_maps=True, **kw)
+    return jax.tree.map(np.asarray, proc(batch))
+
+
+@pytest.mark.parametrize("dp,sp", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_matches_single_chip_float(batch, dp, sp):
+    mesh = M.make_mesh(dp=dp, sp=sp)
+    proc = sh.make_sharded_processor(mesh, Q, mode="float32", include_maps=True)
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = _single_reference(batch, mode="float32")
+    # Maps agree to float tolerance (all-to-all reorders reductions).
+    np.testing.assert_allclose(out["mag_map"], single["mag_map"], rtol=2e-5)
+    # Detection decisions identical.
+    assert np.array_equal(out["det_map"] > 0, single["det_map"] > 0)
+    assert np.array_equal(out["n_dets"], single["n_dets"])
+    # Extracted detection lists identical where valid.
+    v = single["valid"]
+    assert np.array_equal(out["valid"], v)
+    assert np.array_equal(out["range_bin"][v], single["range_bin"][v])
+    assert np.array_equal(out["doppler_bin"][v], single["doppler_bin"][v])
+
+
+def test_sharded_matches_single_chip_fixed(batch):
+    mesh = M.make_mesh(dp=2, sp=4)
+    proc = sh.make_sharded_processor(mesh, Q, mode="fixed", include_maps=True)
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = _single_reference(batch, mode="fixed")
+    # Integer pipeline: bit-identical maps and detections.
+    assert np.array_equal(out["mag_map"], single["mag_map"])
+    assert np.array_equal(out["det_map"], single["det_map"])
+    assert np.array_equal(out["n_dets"], single["n_dets"])
+
+
+def test_sharded_runtime_controls(batch):
+    mesh = M.make_mesh(dp=1, sp=8)
+    proc = sh.make_sharded_processor(mesh, Q, mode="float32")
+    a = proc(batch, mti_bypass=True)
+    b = proc(batch, scale_override=7)
+    assert proc.jitted._cache_size() == 1
+    sa = pl.make_batch_processor(Q, mode="float32", include_maps=False)(
+        batch, mti_bypass=True)
+    assert np.array_equal(np.asarray(a["n_dets"]), np.asarray(sa["n_dets"]))
+
+
+def test_sharded_peak_grouping(batch):
+    mesh = M.make_mesh(dp=1, sp=8)
+    proc = sh.make_sharded_processor(mesh, Q, mode="float32",
+                                     peak_group_radius=2, include_maps=True)
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = _single_reference(batch, mode="float32", peak_group_radius=2)
+    assert np.array_equal(out["det_map"] > 0, single["det_map"] > 0)
+
+
+def test_shape_validation(batch):
+    mesh = M.make_mesh(dp=2, sp=4)
+    proc = sh.make_sharded_processor(mesh, Q)
+    with pytest.raises(ValueError, match="divisible by dp"):
+        proc(batch[:3])
+    with pytest.raises(ValueError, match="expected iq batch"):
+        proc(batch[:, :, :64])
+    with pytest.raises(ValueError, match="must divide"):
+        sh.make_sharded_processor(M.make_mesh(dp=1, sp=8),
+                                  Q.replace(n_doppler=12))

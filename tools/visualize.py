@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""End-to-end demo CLI: run the tactical scenario through the TPU radar
+pipeline + TWS tracker, write reference-format logs, render analysis PNGs.
+
+Equivalent of running rtl/src/tb_tactical.vhd in xsim and then
+model/visualize_radar_targets.py on its logs — except the whole thing runs in
+seconds instead of "~30 min quick / hours full" (tb_tactical.vhd:16-19).
+
+Usage:
+  python tools/visualize.py [--quick|--full] [--scans N] [--out DIR]
+                            [--cpu] [--sharded SP] [--mode float32|fixed]
+  python tools/visualize.py --logs DIR     # just re-render existing logs
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--quick", action="store_true", default=True)
+    ap.add_argument("--full", dest="quick", action="store_false",
+                    help="full 1024x128 resolution, 120 scans")
+    ap.add_argument("--scans", type=int, default=None)
+    ap.add_argument("--out", default="demo_out")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--sharded", type=int, default=0, metavar="SP",
+                    help="run the sp-sharded multi-chip pipeline")
+    ap.add_argument("--mode", default="float32", choices=["float32", "fixed"])
+    ap.add_argument("--faithful", action="store_true",
+                    help="reference-faithful burst target synthesis "
+                         "(tb_tactical.vhd:252-266) instead of point targets")
+    ap.add_argument("--logs", default=None,
+                    help="skip processing; render existing logs in DIR")
+    args = ap.parse_args()
+
+    import numpy as np
+    from fmcw_tpu.utils import viz
+
+    if args.logs:
+        files = viz.render(det_path=os.path.join(args.logs, "tac_detections.txt"),
+                           trk_path=os.path.join(args.logs, "tac_tracks.txt"),
+                           out_prefix=os.path.join(args.logs, "radar"))
+        print("rendered:", ", ".join(files))
+        return
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import fmcw_tpu
+    from fmcw_tpu.models import pipeline as pl, tracker as jt, scenario as sc
+    from fmcw_tpu.utils import io as rio
+
+    p = fmcw_tpu.quick() if args.quick else fmcw_tpu.full()
+    if args.quick:
+        # Demo CFAR geometry: the guard band must cover the scenario's
+        # +-2-bin target spread or the training cells self-mask (the quick
+        # preset mirrors the reference generics, which rely on BFP
+        # flattening to detect anyway — see docs/design_notes.md).
+        p = p.replace(cfar=fmcw_tpu.CfarParams(
+            ref_range=4, ref_doppler=3, guard_range=2, guard_doppler=1))
+    cfg = sc.quick_scenario() if args.quick else sc.ScenarioConfig()
+    cfg.burst_synthesis = args.faithful
+    if args.scans:
+        cfg.num_scans = args.scans
+    os.makedirs(args.out, exist_ok=True)
+    det_log = os.path.join(args.out, "tac_detections.txt")
+    trk_log = os.path.join(args.out, "tac_tracks.txt")
+    open(det_log, "w").close()
+    open(trk_log, "w").close()
+
+    if args.sharded:
+        from fmcw_tpu.parallel import mesh as M, sharded as sh
+        mesh = M.make_mesh(dp=1, sp=args.sharded)
+        sproc = sh.make_sharded_processor(mesh, p, mode=args.mode,
+                                          peak_group_radius=2,
+                                          include_maps=True)
+        proc = lambda iq: jax.tree.map(
+            lambda x: np.asarray(x)[0], sproc(iq[None]))
+        print(f"mesh: dp=1 sp={args.sharded} on {jax.devices()[0].platform}")
+    else:
+        proc = pl.make_processor(p, mode=args.mode, peak_group_radius=2)
+        print(f"single chip: {jax.devices()[0]}")
+
+    scen = sc.TacticalScenario(p, cfg)
+    state = jt.init_state(p.tracker)
+    t0 = time.time()
+    last_map = None
+    for scan, frame, truth in scen.run():
+        out = proc(pl.complex_to_iq(frame))
+        out = jax.tree.map(np.asarray, out)
+        if "mag_map" in out:
+            last_map = out["mag_map"]
+        v = out["valid"]
+        rio.write_detections(det_log, out["range_bin"][v],
+                             out["doppler_bin"][v], out["mag"][v], append=True)
+        state, rep = jt.step(state, out["range_bin"], out["doppler_bin"],
+                             out["mag"].astype(np.int32), out["valid"],
+                             tp=p.tracker)
+        rep = jax.tree.map(np.asarray, rep)
+        ids = np.nonzero(rep["report_mask"])[0]
+        rio.write_tracks(trk_log, [
+            {"id": i, "range_pos": rep["range_pos"][i],
+             "dopp_pos": rep["dopp_pos"][i], "range_vel": rep["range_vel"][i],
+             "quality": rep["quality"][i], "status": rep["status"][i]}
+            for i in ids], active_count=int(rep["active_tracks"]),
+            append=True)
+        print(f"scan {scan:3d}: dets={int(np.sum(v)):3d} "
+              f"tracks={int(rep['active_tracks']):2d} "
+              f"truth={len(truth)}")
+    dt = time.time() - t0
+    print(f"{cfg.num_scans} scans in {dt:.1f}s "
+          f"({cfg.num_scans / dt:.1f} scans/s)")
+
+    if "mag_map" not in out:
+        last_map = None
+    files = viz.render(det_path=det_log, trk_path=trk_log, mag_map=last_map,
+                       out_prefix=os.path.join(args.out, "radar"),
+                       n_range=p.n_range, n_doppler=p.n_doppler,
+                       notch_scan=cfg.notch_scan)
+    print("rendered:", ", ".join(files))
+
+
+if __name__ == "__main__":
+    main()
