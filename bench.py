@@ -64,13 +64,22 @@ def main():
 
     results = {}
     configs = [
-        ("matmul/HIGHEST", dict(fft_method="matmul",
-                                precision=jax.lax.Precision.HIGHEST)),
-        ("matmul/HIGH", dict(fft_method="matmul",
-                             precision=jax.lax.Precision.HIGH)),
-        ("xla-fft", dict(fft_method="xla",
-                         precision=jax.lax.Precision.HIGHEST)),
+        ("pallas-cfar/matmul-HIGH", dict(fft_method="matmul",
+                                         precision=jax.lax.Precision.HIGH,
+                                         cfar_method="auto")),
     ]
+    if "--sweep" in sys.argv:
+        configs += [
+            ("xla-cfar/matmul-HIGH", dict(fft_method="matmul",
+                                          precision=jax.lax.Precision.HIGH,
+                                          cfar_method="xla")),
+            ("pallas-cfar/matmul-HIGHEST", dict(
+                fft_method="matmul", precision=jax.lax.Precision.HIGHEST,
+                cfar_method="auto")),
+            ("pallas-cfar/xla-fft", dict(fft_method="xla",
+                                         precision=jax.lax.Precision.HIGH,
+                                         cfar_method="auto")),
+        ]
     ref_out = None
     for name, kw in configs:
         try:

@@ -48,6 +48,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                    mti_transient: str = "zero",
                    peak_group_radius: int = 0,
                    magnitude_exact: bool = False,
+                   cfar_method: str = "auto",
                    include_maps: bool = True) -> Callable:
     """Build the jitted single-frame processor.
 
@@ -78,8 +79,9 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         re, im = F.fft_apply(re, im, axis=1, window=True, method=fft_method,
                              precision=precision)
         mag = M.magnitude_float(re, im, exact=magnitude_exact)
-        det, threshold, scale = C.cfar_2d(mag, scale_override, cfar=p.cfar,
-                                          integer=False)
+        det, threshold, scale = C.cfar_2d_auto(
+            mag, scale_override, cfar=p.cfar, integer=False,
+            method=cfar_method)
         return mag, det, jnp.int32(0)
 
     def fixed_path(iq, mti_bypass, scale_override):
@@ -101,8 +103,9 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                              axis=1, method=fft_method, precision=precision)
         re, im = F.bfp_quantize(re, im, axis=1)
         mag = M.magnitude_fixed(re.astype(jnp.int32), im.astype(jnp.int32))
-        det, threshold, scale = C.cfar_2d(mag, scale_override, cfar=p.cfar,
-                                          integer=True)
+        det, threshold, scale = C.cfar_2d_auto(
+            mag, scale_override, cfar=p.cfar, integer=True,
+            method=cfar_method)
         return mag, det, (s1 + s2).astype(jnp.int32)
 
     path = {"float32": float_path, "fixed": fixed_path}[mode]

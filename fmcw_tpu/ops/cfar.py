@@ -101,6 +101,27 @@ def _order_statistic(refs: jnp.ndarray, rank_idx: int) -> jnp.ndarray:
     return top[..., k - 1]
 
 
+def cfar_2d_auto(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
+                 cfar: CfarParams = CfarParams(), integer: bool = False,
+                 prepadded_range: bool = False, method: str = "auto"):
+    """Dispatch between the XLA formulation (this module) and the Pallas
+    bit-serial kernel (ops/cfar_pallas.py).  ``auto`` uses Pallas for the OS
+    variant on TPU; XLA for CA/GO/SO and on non-TPU backends (where Pallas
+    would run interpreted — available explicitly via method="pallas")."""
+    if method == "auto":
+        method = ("pallas" if cfar.variant == "os"
+                  and jax.default_backend() == "tpu" else "xla")
+    if method == "pallas":
+        from .cfar_pallas import cfar_2d_pallas
+        interpret = jax.default_backend() != "tpu"
+        return cfar_2d_pallas(mag_map, scale_override, cfar=cfar,
+                              integer=integer,
+                              prepadded_range=prepadded_range,
+                              interpret=interpret)
+    return cfar_2d(mag_map, scale_override, cfar=cfar, integer=integer,
+                   prepadded_range=prepadded_range)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfar", "integer", "prepadded_range"))
 def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,

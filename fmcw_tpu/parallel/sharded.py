@@ -53,6 +53,7 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
                            mti_transient: str = "zero",
                            peak_group_radius: int = 0,
                            magnitude_exact: bool = False,
+                           cfar_method: str = "auto",
                            include_maps: bool = False):
     """Build the sharded frame-batch processor.
 
@@ -124,8 +125,10 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
 
         # CFAR with cross-shard halo (ring exchange along sp).
         mag_h = _halo_exchange_rows(mag, hr, "sp")
-        det, _, _ = C.cfar_2d(mag_h, scale_override, cfar=p.cfar,
-                              integer=(mode == "fixed"), prepadded_range=True)
+        det, _, _ = C.cfar_2d_auto(mag_h, scale_override, cfar=p.cfar,
+                                   integer=(mode == "fixed"),
+                                   prepadded_range=True,
+                                   method=cfar_method)
         if peak_group_radius > 0:
             # Peak grouping also needs neighbor context; reuse the exchange.
             det_h = _halo_exchange_rows(det, peak_group_radius, "sp")

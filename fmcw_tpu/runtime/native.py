@@ -1,0 +1,168 @@
+"""ctypes bindings for the native fmcwio library (native/fmcwio.cpp).
+
+Builds the shared library on first use (g++ -O3) and caches it next to the
+source; falls back to numpy implementations if no toolchain is available, so
+the framework never hard-requires the native path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "fmcwio.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "fmcwio.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-o", _SO, _SRC, "-lpthread"],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_SO)
+            lib.fmcwio_parse_ints.restype = ctypes.c_long
+            lib.fmcwio_parse_ints.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_long]
+            lib.fmcwio_write_rdm.restype = ctypes.c_int
+            lib.fmcwio_write_rdm.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int, ctypes.c_int]
+            lib.fmcwio_ring_create.restype = ctypes.c_void_p
+            lib.fmcwio_ring_create.argtypes = [ctypes.c_long, ctypes.c_int]
+            lib.fmcwio_ring_destroy.argtypes = [ctypes.c_void_p]
+            for fn in ("fmcwio_ring_push", "fmcwio_ring_try_push",
+                       "fmcwio_ring_pop"):
+                getattr(lib, fn).restype = ctypes.c_int
+                getattr(lib, fn).argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16)]
+            lib.fmcwio_ring_close.argtypes = [ctypes.c_void_p]
+            lib.fmcwio_ring_size.restype = ctypes.c_int
+            lib.fmcwio_ring_size.argtypes = [ctypes.c_void_p]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_ints(path: str, max_values: int) -> np.ndarray:
+    """Parse all integers in a text file (native if available)."""
+    lib = _load()
+    if lib is None:
+        return np.loadtxt(path, dtype=np.int64).ravel().astype(np.int32)
+    out = np.empty(max_values, dtype=np.int32)
+    n = lib.fmcwio_parse_ints(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_values)
+    if n < 0:
+        raise FileNotFoundError(path)
+    return out[:n]
+
+
+def read_iq_pairs(path: str, max_samples: int = 1 << 22) -> np.ndarray:
+    """Native-speed version of utils.io.read_iq_pairs."""
+    v = parse_ints(path, 2 * max_samples)
+    v = v.reshape(-1, 2)
+    return v[:, 0].astype(np.float64) + 1j * v[:, 1].astype(np.float64)
+
+
+def read_rdm_map(path: str, n_range: int = 1024,
+                 n_doppler: int = 128) -> np.ndarray:
+    """Native-speed version of utils.io.read_rdm_map (5-column format)."""
+    v = parse_ints(path, 5 * n_range * n_doppler * 2)
+    v = v.reshape(-1, 5)
+    m = np.zeros((n_range, n_doppler), dtype=np.int64)
+    m[v[:, 0], v[:, 1]] = v[:, 4]
+    return m
+
+
+def write_rdm_map(path: str, mag_map: np.ndarray) -> None:
+    lib = _load()
+    m = np.ascontiguousarray(np.asarray(mag_map), dtype=np.int32)
+    if lib is None:
+        from ..utils.io import write_rdm_map as slow
+        return slow(path, m)
+    rc = lib.fmcwio_write_rdm(
+        path.encode(), m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        m.shape[0], m.shape[1])
+    if rc != 0:
+        raise IOError(f"write failed: {path}")
+
+
+class FrameRing:
+    """Blocking SPSC ring of int16 frames (native; python-queue fallback).
+
+    Producer thread synthesizes/reads frames; consumer feeds the device.
+    ``try_push`` returning False is the overflow condition (frame drop)."""
+
+    def __init__(self, frame_shape: tuple, capacity: int = 4):
+        self.frame_shape = tuple(frame_shape)
+        self.elems = int(np.prod(frame_shape))
+        self._lib = _load()
+        if self._lib is not None:
+            self._ring = self._lib.fmcwio_ring_create(self.elems, capacity)
+        else:
+            import queue
+            self._q = queue.Queue(maxsize=capacity)
+
+    def _ptr(self, arr):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+    def push(self, frame: np.ndarray) -> bool:
+        f = np.ascontiguousarray(frame, dtype=np.int16)
+        if self._lib is not None:
+            return self._lib.fmcwio_ring_push(self._ring, self._ptr(f)) == 0
+        self._q.put(f.copy())
+        return True
+
+    def try_push(self, frame: np.ndarray) -> bool:
+        f = np.ascontiguousarray(frame, dtype=np.int16)
+        if self._lib is not None:
+            return self._lib.fmcwio_ring_try_push(self._ring, self._ptr(f)) == 1
+        try:
+            self._q.put_nowait(f.copy())
+            return True
+        except Exception:
+            return False
+
+    def pop(self) -> np.ndarray | None:
+        if self._lib is not None:
+            out = np.empty(self.frame_shape, dtype=np.int16)
+            rc = self._lib.fmcwio_ring_pop(self._ring, self._ptr(out))
+            return out if rc == 0 else None
+        try:
+            return self._q.get(timeout=60.0)
+        except Exception:
+            return None
+
+    def close(self):
+        if self._lib is not None:
+            self._lib.fmcwio_ring_close(self._ring)
+        else:
+            self._q.put(None)
+
+    def __del__(self):
+        try:
+            if self._lib is not None:
+                self._lib.fmcwio_ring_destroy(self._ring)
+        except Exception:
+            pass

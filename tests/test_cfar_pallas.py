@@ -1,0 +1,65 @@
+"""Pallas bit-serial CFAR kernel vs the XLA formulation (interpret mode).
+
+The kernel must be bit-exact in integer mode and decision-identical in float
+mode (rank selection is exact via the IEEE-754 bitcast ordering; only the
+mean/threshold float rounding may differ in the last ulp).
+"""
+
+import numpy as np
+import pytest
+
+from fmcw_tpu import CfarParams
+from fmcw_tpu.ops import cfar as C
+from fmcw_tpu.ops.cfar_pallas import cfar_2d_pallas
+
+FULL = CfarParams()
+QUICK = CfarParams(ref_range=2, ref_doppler=2, guard_range=1, guard_doppler=1)
+
+
+def _int_map(shape=(256, 128), seed=0):
+    rng = np.random.default_rng(seed)
+    m = rng.integers(0, 45056, shape).astype(np.int32)
+    m[shape[0] // 5, shape[1] // 4] = 45000
+    m[shape[0] * 3 // 4, shape[1] * 3 // 4] = 44000
+    return m
+
+
+@pytest.mark.parametrize("cfar", [FULL, QUICK], ids=["full", "quick"])
+def test_integer_bit_exact(cfar):
+    m = _int_map()
+    d1, t1, s1 = C.cfar_2d(m, 0, cfar=cfar, integer=True)
+    d2, t2, s2 = cfar_2d_pallas(m, 0, cfar=cfar, integer=True, interpret=True)
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+    assert np.array_equal(np.asarray(t1), np.asarray(t2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_float_decision_identical():
+    rng = np.random.default_rng(3)
+    m = (rng.random((256, 128)) * 1e8).astype(np.float32)
+    m[40, 40] = 9e8
+    d1, t1, _ = C.cfar_2d(m, 0, cfar=FULL, integer=False)
+    d2, t2, _ = cfar_2d_pallas(m, 0, cfar=FULL, integer=False, interpret=True)
+    assert np.array_equal(np.asarray(d1) > 0, np.asarray(d2) > 0)
+    # Rank selection exact: threshold/scale ratio (= order statistic) matches.
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+
+
+def test_scale_override_and_prepadded():
+    m = _int_map((128, 64), seed=5)
+    _, _, s = cfar_2d_pallas(m, 6, cfar=QUICK, integer=True, interpret=True)
+    assert np.all(np.asarray(s) == 6)
+    # prepadded_range: manual wrap pad == internal pad.
+    hr = QUICK.halo_range
+    mp = np.pad(m, ((hr, hr), (0, 0)), mode="wrap")
+    d1, _, _ = cfar_2d_pallas(m, 0, cfar=QUICK, integer=True, interpret=True)
+    d2, _, _ = cfar_2d_pallas(mp, 0, cfar=QUICK, integer=True,
+                              prepadded_range=True, interpret=True)
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_rejects_non_os_variant():
+    with pytest.raises(ValueError, match="os variant"):
+        cfar_2d_pallas(_int_map(), 0,
+                       cfar=CfarParams(variant="ca"), integer=True,
+                       interpret=True)
