@@ -39,7 +39,7 @@ from ..golden.fixed_point import _window_offsets
 
 
 def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
-            rot_ref, *, cfar: CfarParams, integer: bool, bits: int,
+            rot_ref, refs_ref, *, cfar: CfarParams, integer: bool, bits: int,
             tile_rows: int):
     """One grid step: CFAR over ``tile_rows`` output rows.
 
@@ -48,6 +48,9 @@ def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
                 every grid step)
     rot_ref:    scratch (win_doppler, tile_rows + 2*hr, D) — lane-rotated,
                 column-sliced copies of this tile's padded region
+    refs_ref:   scratch (n_ref, tile_rows, D) — materialized training-cell
+                planes, so the bits x n_ref hot loop reads aligned full tiles
+                (the misaligned sublane shifts happen once, not per bit)
     """
     i = pl.program_id(0)
     hr, hd = cfar.halo_range, cfar.halo_doppler
@@ -61,30 +64,33 @@ def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
         rot_ref[j] = padded_ref[pl.ds(row0, tile_rows + 2 * hr),
                                 pl.ds(j, D)].astype(jnp.int32)
 
-    def ref_view(dr, dd):
-        # Training-cell values for every CUT in the tile: sublane slice only.
-        return rot_ref[dd + hd, pl.ds(hr + dr, tile_rows), :]
+    # 2. Materialize the n_ref training planes with aligned layout.
+    for idx, (dr, dd) in enumerate(offsets):
+        refs_ref[idx] = rot_ref[dd + hd, pl.ds(hr + dr, tile_rows), :]
 
-    # 2. Training-cell sum (for the adaptive-scale mean).
-    if integer:
-        acc = jnp.zeros((tile_rows, D), jnp.int32)
-        for dr, dd in offsets:
-            acc = acc + ref_view(dr, dd)
-        mean = acc // cfar.n_ref
-    else:
-        accf = jnp.zeros((tile_rows, D), jnp.float32)
-        for dr, dd in offsets:
-            accf = accf + pltpu.bitcast(ref_view(dr, dd), jnp.float32)
-        mean = accf / cfar.n_ref
+    def ref_view(dr, dd, idx=None):
+        return refs_ref[offsets.index((dr, dd)) if idx is None else idx]
 
-    # 3. Bit-serial radix selection of the k-th largest training cell.
-    prefix = jnp.zeros((tile_rows, D), jnp.int32)
-    for b in reversed(range(bits)):
+    # 3+4. Bit-serial radix selection of the k-th largest training cell
+    # (compare-bound: one compare+add per (bit, ref) on the VPU).  The
+    # adaptive-scale mean accumulates inside the first pass for free.
+    zero = jnp.zeros((tile_rows, D), jnp.int32)
+    prefix = zero
+    acc = zero
+    accf = jnp.zeros((tile_rows, D), jnp.float32)
+    for pos, b in enumerate(reversed(range(bits))):
         cand = prefix | (1 << b)
-        cnt = jnp.zeros((tile_rows, D), jnp.int32)
-        for dr, dd in offsets:
-            cnt = cnt + (ref_view(dr, dd) >= cand).astype(jnp.int32)
+        cnt = zero
+        for idx in range(cfar.n_ref):
+            v = ref_view(None, None, idx)
+            cnt = cnt + (v >= cand).astype(jnp.int32)
+            if pos == 0:
+                if integer:
+                    acc = acc + v
+                else:
+                    accf = accf + pltpu.bitcast(v, jnp.float32)
         prefix = jnp.where(cnt >= k, cand, prefix)
+    mean = (acc // cfar.n_ref) if integer else (accf / cfar.n_ref)
 
     # 4. Adaptive scale + threshold + zero-suppressed detection output
     #    (os_cfar_2d.vhd:187-217 semantics, matching ops/cfar.cfar_2d).
@@ -122,7 +128,7 @@ def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
                      "interpret"))
 def cfar_2d_pallas(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
                    cfar: CfarParams = CfarParams(), integer: bool = False,
-                   prepadded_range: bool = False, tile_rows: int = 128,
+                   prepadded_range: bool = False, tile_rows: int = 64,
                    interpret: bool = False):
     """Drop-in replacement for ops.cfar.cfar_2d (OS variant) returning
     (det_map, threshold, scale).  ``interpret=True`` runs the Pallas
@@ -138,7 +144,7 @@ def cfar_2d_pallas(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
 
     if integer:
         m32 = m.astype(jnp.int32)
-        bits = 17
+        bits = 16  # magnitude <= 45056 < 2^16 (max + max/4 + max/8 of int16)
     else:
         # Non-negative f32 sorts like its bit pattern: rank in int domain.
         m32 = jax.lax.bitcast_convert_type(m.astype(jnp.float32), jnp.int32)
@@ -186,6 +192,7 @@ def cfar_2d_pallas(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
         ],
         scratch_shapes=[
             pltpu.VMEM((cfar.win_doppler, tile_rows + 2 * hr, D), jnp.int32),
+            pltpu.VMEM((cfar.n_ref, tile_rows, D), jnp.int32),
         ],
         interpret=interpret,
     )(core, padded, so)
