@@ -175,6 +175,71 @@ def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     return det, threshold, scale
 
 
+def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
+            cfar: CfarParams = CfarParams(), integer: bool = False,
+            ref_angle: int = 0, guard_angle: int = 0, method: str = "auto"):
+    """Angle-bin extension of the 2D CFAR (BASELINE config 4).
+
+    ``cube``: (n_angle, n_range, n_doppler) magnitude maps, one per beam.
+
+    * ``ref_angle == 0``: independent 2D CFAR per angle bin (vmapped; uses the
+      Pallas kernel on TPU via the auto dispatcher).
+    * ``ref_angle > 0``: the training window extends +-ref_angle planes in
+      angle (with +-guard_angle guard planes, wrap edges), forming a 3D
+      box-minus-guard-box neighborhood; the order statistic / averages run
+      over the enlarged training set.  The percentile rank follows
+      CfarParams.rank_pct on the enlarged n_ref.
+
+    Returns (det_cube, threshold, scale) like cfar_2d.
+    """
+    if ref_angle == 0:
+        f = lambda m: cfar_2d_auto(m, scale_override, cfar=cfar,
+                                   integer=integer, method=method)
+        return jax.vmap(f)(cube)
+
+    win_a = 2 * ref_angle + 2 * guard_angle + 1
+    offs3 = []
+    for da in range(-(ref_angle + guard_angle), ref_angle + guard_angle + 1):
+        for d in range(cfar.win_doppler):
+            for r in range(cfar.win_range):
+                a_dist = abs(da)
+                d_dist = abs(d - (cfar.ref_doppler + cfar.guard_doppler))
+                r_dist = abs(r - (cfar.ref_range + cfar.guard_range))
+                if (a_dist <= guard_angle
+                        and d_dist <= cfar.guard_doppler
+                        and r_dist <= cfar.guard_range):
+                    continue
+                offs3.append((da, r - (cfar.ref_range + cfar.guard_range),
+                              d - (cfar.ref_doppler + cfar.guard_doppler)))
+    n_ref = len(offs3)
+    rank_idx = min((n_ref * cfar.rank_pct) // 100, n_ref - 1)
+
+    views = [jnp.roll(cube, (-da, -dr, -dd), axis=(0, 1, 2))
+             for da, dr, dd in offs3]
+    refs = jnp.stack(views, axis=-1)
+    sum_refs = jnp.sum(refs, axis=-1)
+    if cfar.variant == "os":
+        est = _order_statistic(refs, rank_idx)
+    else:
+        est = sum_refs // n_ref if integer else sum_refs / n_ref
+
+    so = jnp.asarray(scale_override)
+    if integer:
+        mean = sum_refs // n_ref
+        hi = est > mean + (mean >> 1)
+        lo = est < (mean >> 1)
+    else:
+        mean = sum_refs / n_ref
+        hi = est > 1.5 * mean
+        lo = est < 0.5 * mean
+    scale = jnp.where(hi, cfar.scale_max, jnp.where(lo, cfar.scale_min,
+                                                    cfar.scale_nom))
+    scale = jnp.where(so != 0, so, scale).astype(cube.dtype)
+    threshold = est * scale
+    det = jnp.where(cube > threshold, cube, jnp.zeros_like(cube))
+    return det, threshold, scale
+
+
 def peak_group(det_map: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
     """Peak grouping: keep detections that are the strict local max of their
     (2r+1)^2 neighborhood, ties broken toward the lower linear index (matches
