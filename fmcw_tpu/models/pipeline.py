@@ -49,7 +49,8 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                    peak_group_radius: int = 0,
                    magnitude_exact: bool = False,
                    cfar_method: str = "auto",
-                   include_maps: bool = True) -> Callable:
+                   include_maps: bool = True,
+                   include_debug: bool = False) -> Callable:
     """Build the jitted single-frame processor.
 
     Returned callable: ``fn(iq, mti_bypass=False, scale_override=0) -> dict``
@@ -60,6 +61,10 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
       range_bin/doppler_bin/mag/valid  top-K detection arrays
       n_dets    total CFAR detection count
       saturation_count  windowed-sample saturations (fixed mode; 0 in float)
+      threshold_map/scale_map  CFAR debug taps       [if include_debug]
+          (the dbg_threshold/dbg_scale ports, os_cfar_2d.vhd:34-35)
+      nonfinite_count  NaN/Inf cells in the magnitude map (float mode
+          numeric sanitization; always 0 in fixed mode)
     """
     p = params or RadarParams()
     max_dets = p.tracker.max_dets
@@ -82,7 +87,8 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         det, threshold, scale = C.cfar_2d_auto(
             mag, scale_override, cfar=p.cfar, integer=False,
             method=cfar_method)
-        return mag, det, jnp.int32(0)
+        nonfinite = jnp.sum(~jnp.isfinite(mag)).astype(jnp.int32)
+        return mag, det, threshold, scale, jnp.int32(0), nonfinite
 
     def fixed_path(iq, mti_bypass, scale_override):
         i_v = iq[..., 0].astype(jnp.int32)
@@ -106,20 +112,25 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         det, threshold, scale = C.cfar_2d_auto(
             mag, scale_override, cfar=p.cfar, integer=True,
             method=cfar_method)
-        return mag, det, (s1 + s2).astype(jnp.int32)
+        return mag, det, threshold, scale, (s1 + s2).astype(jnp.int32), jnp.int32(0)
 
     path = {"float32": float_path, "fixed": fixed_path}[mode]
 
     @jax.jit
     def _process(iq, mti_bypass, scale_override):
-        mag, det, sat = path(iq, mti_bypass, scale_override)
+        mag, det, threshold, scale, sat, nonfinite = path(
+            iq, mti_bypass, scale_override)
         if peak_group_radius > 0:
             det = C.peak_group(det, radius=peak_group_radius)
         out = DET.topk_detections(det, max_dets=max_dets)
         out["saturation_count"] = sat
+        out["nonfinite_count"] = nonfinite
         if include_maps:
             out["mag_map"] = mag
             out["det_map"] = det
+        if include_debug:
+            out["threshold_map"] = threshold
+            out["scale_map"] = scale
         return out
 
     def process(iq, mti_bypass=False, scale_override=0):

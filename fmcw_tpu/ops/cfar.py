@@ -175,6 +175,34 @@ def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     return det, threshold, scale
 
 
+def cfar_1d(x: jnp.ndarray, ref_cells: int = 8, guard_cells: int = 2,
+            rank_idx: int = 12, scaling_mult: int = 4, scaling_div: int = 1,
+            axis: int = -1, edge_mode: str = "wrap") -> jnp.ndarray:
+    """1D OS-CFAR along ``axis`` (rtl/old/os_cfar.vhd semantics: ascending
+    rank over 2*ref_cells training cells, fixed mult/div threshold).  The
+    order statistic uses top_k like the 2D path; integer inputs use floor
+    division for the threshold (matching the VHDL), floats true division."""
+    x = jnp.moveaxis(x, axis, -1)
+    offs = ([-(guard_cells + i) - 1 for i in range(ref_cells)]
+            + [guard_cells + i + 1 for i in range(ref_cells)])
+    if edge_mode == "wrap":
+        refs = jnp.stack([jnp.roll(x, -o, axis=-1) for o in offs], axis=-1)
+    else:
+        h = ref_cells + guard_cells
+        pad = [(0, 0)] * (x.ndim - 1) + [(h, h)]
+        xp = jnp.pad(x, pad, mode="reflect")
+        n = x.shape[-1]
+        refs = jnp.stack([xp[..., h + o: h + o + n] for o in offs], axis=-1)
+    n_ref = 2 * ref_cells
+    est = _order_statistic(refs, rank_idx)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        threshold = (est * scaling_mult) // scaling_div
+    else:
+        threshold = est * (scaling_mult / scaling_div)
+    out = jnp.where(x > threshold, x, jnp.zeros_like(x))
+    return jnp.moveaxis(out, -1, axis)
+
+
 def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
             cfar: CfarParams = CfarParams(), integer: bool = False,
             ref_angle: int = 0, guard_angle: int = 0, method: str = "auto"):

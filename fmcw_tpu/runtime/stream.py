@@ -78,6 +78,44 @@ def stream(proc: Callable, frames: Iterable[np.ndarray], depth: int = 2,
         yield out
 
 
+class FrameAssembler:
+    """Assemble whole CPI frames from arbitrarily-chunked sample streams.
+
+    The reference ingests one sample per clock with tvalid gaps and
+    backpressure (every TB exercises this — SURVEY.md §4); the TPU framework
+    ingests whole frames, so this adapter reassembles them: feed int16 I/Q
+    sample chunks of any length (the AXI-Stream analog), get complete
+    (n_doppler, n_range, 2) frames out.  Chunk boundaries never affect the
+    result (property-tested in tests/test_runtime.py).
+    """
+
+    def __init__(self, n_doppler: int, n_range: int):
+        self.shape = (n_doppler, n_range, 2)
+        self._frame_samples = n_doppler * n_range
+        self._buf = np.zeros((self._frame_samples, 2), dtype=np.int16)
+        self._fill = 0
+
+    def push(self, chunk: np.ndarray) -> list[np.ndarray]:
+        """``chunk``: (k, 2) int16 I/Q samples.  Returns the list of frames
+        completed by this chunk (usually empty or one)."""
+        chunk = np.asarray(chunk, dtype=np.int16).reshape(-1, 2)
+        done = []
+        pos = 0
+        while pos < len(chunk):
+            take = min(len(chunk) - pos, self._frame_samples - self._fill)
+            self._buf[self._fill: self._fill + take] = chunk[pos: pos + take]
+            self._fill += take
+            pos += take
+            if self._fill == self._frame_samples:
+                done.append(self._buf.reshape(self.shape).copy())
+                self._fill = 0
+        return done
+
+    @property
+    def pending_samples(self) -> int:
+        return self._fill
+
+
 def stream_batched(proc: Callable, frames: Iterable[np.ndarray],
                    batch_size: int, depth: int = 2,
                    stats: StreamStats | None = None, **proc_kw
