@@ -49,6 +49,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                    peak_group_radius: int = 0,
                    magnitude_exact: bool = False,
                    cfar_method: str = "auto",
+                   cfar_rank_bits: int | None = 16,
                    include_maps: bool = True,
                    include_debug: bool = False) -> Callable:
     """Build the jitted single-frame processor.
@@ -86,7 +87,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         mag = M.magnitude_float(re, im, exact=magnitude_exact)
         det, threshold, scale = C.cfar_2d_auto(
             mag, scale_override, cfar=p.cfar, integer=False,
-            method=cfar_method)
+            method=cfar_method, rank_bits=cfar_rank_bits)
         nonfinite = jnp.sum(~jnp.isfinite(mag)).astype(jnp.int32)
         return mag, det, threshold, scale, jnp.int32(0), nonfinite
 

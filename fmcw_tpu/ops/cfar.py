@@ -103,7 +103,8 @@ def _order_statistic(refs: jnp.ndarray, rank_idx: int) -> jnp.ndarray:
 
 def cfar_2d_auto(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
                  cfar: CfarParams = CfarParams(), integer: bool = False,
-                 prepadded_range: bool = False, method: str = "auto"):
+                 prepadded_range: bool = False, method: str = "auto",
+                 rank_bits: int | None = None):
     """Dispatch between the XLA formulation (this module) and the Pallas
     bit-serial kernel (ops/cfar_pallas.py).  ``auto`` uses Pallas for the OS
     variant on TPU; XLA for CA/GO/SO and on non-TPU backends (where Pallas
@@ -117,7 +118,7 @@ def cfar_2d_auto(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
         return cfar_2d_pallas(mag_map, scale_override, cfar=cfar,
                               integer=integer,
                               prepadded_range=prepadded_range,
-                              interpret=interpret)
+                              interpret=interpret, rank_bits=rank_bits)
     return cfar_2d(mag_map, scale_override, cfar=cfar, integer=integer,
                    prepadded_range=prepadded_range)
 

@@ -78,7 +78,14 @@ def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
     prefix = zero
     acc = zero
     accf = jnp.zeros((tile_rows, D), jnp.float32)
-    for pos, b in enumerate(reversed(range(bits))):
+    if integer:
+        bit_positions = list(reversed(range(bits)))
+    else:
+        # Float keys scan from bit 30 (sign bit of a non-negative float is
+        # 0) down; scanning only the top ``bits`` positions ranks on a
+        # truncated key — see cfar_2d_pallas(rank_bits=...).
+        bit_positions = list(range(30, 30 - bits, -1))
+    for pos, b in enumerate(bit_positions):
         cand = prefix | (1 << b)
         cnt = zero
         for idx in range(cfar.n_ref):
@@ -125,14 +132,22 @@ def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("cfar", "integer", "prepadded_range", "tile_rows",
-                     "interpret"))
+                     "interpret", "rank_bits"))
 def cfar_2d_pallas(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
                    cfar: CfarParams = CfarParams(), integer: bool = False,
                    prepadded_range: bool = False, tile_rows: int = 64,
-                   interpret: bool = False):
+                   interpret: bool = False, rank_bits: int | None = None):
     """Drop-in replacement for ops.cfar.cfar_2d (OS variant) returning
     (det_map, threshold, scale).  ``interpret=True`` runs the Pallas
-    interpreter (CPU tests)."""
+    interpreter (CPU tests).
+
+    ``rank_bits`` (float mode only): number of top bitcast-key bits the radix
+    selection scans.  None/31 = exact order statistic.  16 (the production
+    pipeline default) ranks on a truncated key — the selected threshold is
+    the exact k-th largest value truncated to 8-exponent+7-mantissa-bit
+    precision, i.e. under the true order statistic by <0.8% — halving the
+    kernel's dominant bit-loop cost.  Against threshold scale factors of
+    2/4/6 this is far below the detector's operating margin."""
     if cfar.variant != "os":
         raise ValueError("pallas kernel implements the os variant; use "
                          "ops.cfar.cfar_2d for ca/go/so")
@@ -148,7 +163,7 @@ def cfar_2d_pallas(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     else:
         # Non-negative f32 sorts like its bit pattern: rank in int domain.
         m32 = jax.lax.bitcast_convert_type(m.astype(jnp.float32), jnp.int32)
-        bits = 31
+        bits = 31 if rank_bits is None else int(rank_bits)
 
     if prepadded_range:
         R = m.shape[0] - 2 * hr

@@ -54,6 +54,7 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
                            peak_group_radius: int = 0,
                            magnitude_exact: bool = False,
                            cfar_method: str = "auto",
+                           cfar_rank_bits: int | None = 16,
                            include_maps: bool = False):
     """Build the sharded frame-batch processor.
 
@@ -128,7 +129,9 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
         det, _, _ = C.cfar_2d_auto(mag_h, scale_override, cfar=p.cfar,
                                    integer=(mode == "fixed"),
                                    prepadded_range=True,
-                                   method=cfar_method)
+                                   method=cfar_method,
+                                   rank_bits=(None if mode == "fixed"
+                                              else cfar_rank_bits))
         if peak_group_radius > 0:
             # Peak grouping also needs neighbor context; reuse the exchange.
             det_h = _halo_exchange_rows(det, peak_group_radius, "sp")
