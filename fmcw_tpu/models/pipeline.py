@@ -22,7 +22,6 @@ config lives in RadarParams (the generics).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

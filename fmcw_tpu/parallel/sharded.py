@@ -21,7 +21,6 @@ verified bit-exact in tests/test_sharded.py).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
