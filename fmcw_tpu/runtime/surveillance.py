@@ -20,6 +20,7 @@ from typing import Callable, Iterable, Iterator
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..params import RadarParams
 from ..models import tracker as jt
@@ -32,7 +33,8 @@ class ScanResult:
     n_dets: int
     active_tracks: int
     report: dict
-    tracker_state: dict  # carried pytree — checkpoint via utils.checkpoint
+    tracker_state: dict | None  # populated on each batch's final scan (the
+    # checkpoint boundary — utils.checkpoint); None on intermediate scans
 
 
 def run_surveillance(proc: Callable, frames: Iterable[np.ndarray],
@@ -48,33 +50,54 @@ def run_surveillance(proc: Callable, frames: Iterable[np.ndarray],
     ``tracker_state``/``start_scan`` allow resuming from a checkpoint
     (utils/checkpoint.py).
     """
+    if batch_scans < 1:
+        raise ValueError(f"batch_scans must be >= 1, got {batch_scans}")
     tp = params.tracker
     state = tracker_state if tracker_state is not None else jt.init_state(tp)
-    if det_log:
-        open(det_log, "w").close()
-    if trk_log:
-        open(trk_log, "w").close()
+    resuming = tracker_state is not None or start_scan > 0
+    # A fresh run starts new logs; a resumed run appends to the existing ones.
+    if not resuming:
+        if det_log:
+            open(det_log, "w").close()
+        if trk_log:
+            open(trk_log, "w").close()
 
     scan = start_scan
     buf: list[np.ndarray] = []
 
     def flush(buf):
         nonlocal scan, state
+        n_valid = len(buf)
+        # Zero-pad the final partial batch: keeps the dispatch shape constant
+        # (one compiled executable; sharded processors need batch % dp == 0)
+        # at the cost of processing a few dummy frames once per run.
+        if n_valid < batch_scans:
+            buf = buf + [np.zeros_like(buf[0])] * (batch_scans - n_valid)
         batch = np.stack(buf)
         out = proc(batch, mti_bypass=mti_bypass, scale_override=scale_override)
         out = jax.tree.map(np.asarray, out)
-        for i in range(len(buf)):
+        # All of the batch's scans advance the tracker in one on-device
+        # lax.scan dispatch (models/tracker.run_scans), then reports stream
+        # out per scan.  (A final partial batch runs a shorter scan loop —
+        # one extra tracker compile per run; the expensive frame-processor
+        # executable keeps its shape.)
+        state_dev = {k: jnp.asarray(v) for k, v in state.items()}
+        final, reps = jt.run_scans(
+            jnp.asarray(out["range_bin"][:n_valid]),
+            jnp.asarray(out["doppler_bin"][:n_valid]),
+            jnp.asarray(out["mag"][:n_valid].astype(np.int32)),
+            jnp.asarray(out["valid"][:n_valid]),
+            tp=tp, state=state_dev)
+        reps = jax.tree.map(np.asarray, reps)
+        state = {k: np.asarray(v) for k, v in final.items()}
+        for i in range(n_valid):
             scan += 1
             v = out["valid"][i]
             if det_log:
                 rio.write_detections(det_log, out["range_bin"][i][v],
                                      out["doppler_bin"][i][v],
                                      out["mag"][i][v], append=True)
-            state, rep = jt.step(state, out["range_bin"][i],
-                                 out["doppler_bin"][i],
-                                 out["mag"][i].astype(np.int32),
-                                 out["valid"][i], tp=tp)
-            rep = jax.tree.map(np.asarray, rep)
+            rep = {k: val[i] for k, val in reps.items()}
             ids = np.nonzero(rep["report_mask"])[0]
             if trk_log:
                 rio.write_tracks(trk_log, [
@@ -84,9 +107,13 @@ def run_surveillance(proc: Callable, frames: Iterable[np.ndarray],
                      "quality": rep["quality"][t],
                      "status": rep["status"][t]} for t in ids],
                     active_count=int(rep["active_tracks"]), append=True)
+            # tracker_state after intermediate scans is not materialized by
+            # the fused scan; expose it on the batch's final scan (the
+            # checkpointing boundary).
+            st = state if i == n_valid - 1 else None
             yield ScanResult(scan=scan, n_dets=int(np.sum(v)),
                              active_tracks=int(rep["active_tracks"]),
-                             report=rep, tracker_state=state)
+                             report=rep, tracker_state=st)
 
     for f in frames:
         buf.append(f)

@@ -53,8 +53,10 @@ def test_surveillance_checkpoint_resume(tmp_path):
     resumed = first + rest
     for a, b in zip(full, resumed):
         assert (a.scan, a.active_tracks) == (b.scan, b.active_tracks)
-        for k in a.tracker_state:
-            assert np.array_equal(a.tracker_state[k], b.tracker_state[k]), k
+    # Final tracker state identical.
+    fa, fb = full[-1].tracker_state, resumed[-1].tracker_state
+    for k in fa:
+        assert np.array_equal(fa[k], fb[k]), k
 
 
 def test_golden_chirp_file_end_to_end():
