@@ -260,8 +260,9 @@ def cfar_threshold_stats(mag_map: np.ndarray, cfar: CfarParams):
     For the "os" variant the estimate is the rank_idx-th ascending order
     statistic of the n_ref training cells (os_cfar_2d.vhd:172-183).  For the
     cell-averaging family: "ca" = mean of all training cells; "go"/"so" =
-    greater/smaller of the leading/lagging half-window means (the classic
-    GO/SO-CFAR split along the range axis).
+    greater/smaller of the means over the pure leading/lagging range blocks
+    (the ref_range x win_doppler windows beyond the guard rows — the classic
+    GO/SO-CFAR split; flank cells beside the guard are in neither half).
     """
     refs = _gather_refs(mag_map, cfar)
     mean = np.sum(refs, axis=0) // cfar.n_ref  # truncating (os_cfar_2d.vhd:189)
@@ -272,10 +273,12 @@ def cfar_threshold_stats(mag_map: np.ndarray, cfar: CfarParams):
         est = mean
     elif cfar.variant in ("go", "so"):
         offs = np.array(_window_offsets(cfar))
-        lead = refs[offs[:, 0] < 0]
-        lag = refs[offs[:, 0] > 0]
-        m_lead = np.sum(lead, axis=0) // max(len(lead), 1)
-        m_lag = np.sum(lag, axis=0) // max(len(lag), 1)
+        lead = refs[offs[:, 0] < -cfar.guard_range]
+        lag = refs[offs[:, 0] > cfar.guard_range]
+        n_half = cfar.ref_range * cfar.win_doppler
+        assert len(lead) == len(lag) == n_half
+        m_lead = np.sum(lead, axis=0) // n_half
+        m_lag = np.sum(lag, axis=0) // n_half
         est = (np.maximum if cfar.variant == "go" else np.minimum)(m_lead, m_lag)
     else:
         raise ValueError(cfar.variant)

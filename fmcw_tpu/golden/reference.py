@@ -160,8 +160,15 @@ def _cfar_float(mag: np.ndarray, p: RadarParams, scale_override: int) -> np.ndar
     mean = refs.mean(axis=0)
     if cfar.variant == "os":
         est = np.partition(refs, cfar.rank_idx, axis=0)[cfar.rank_idx]
-    else:
+    elif cfar.variant == "ca":
         est = mean
+    elif cfar.variant in ("go", "so"):
+        o = np.array(fx._window_offsets(cfar))
+        lead = refs[o[:, 0] < -cfar.guard_range].mean(axis=0)
+        lag = refs[o[:, 0] > cfar.guard_range].mean(axis=0)
+        est = (np.maximum if cfar.variant == "go" else np.minimum)(lead, lag)
+    else:
+        raise ValueError(cfar.variant)
     if scale_override:
         scale = float(scale_override)
     else:

@@ -45,7 +45,10 @@ def init_state(tp: TrackerParams | None = None) -> dict:
     z = lambda: np.zeros(n, dtype=np.int64)
     return {"active": z(), "status": z(), "range_pos": z(), "dopp_pos": z(),
             "range_vel": z(), "dopp_vel": z(), "hit_count": z(),
-            "miss_count": z(), "quality": z(), "age": z(), "last_mag": z()}
+            "miss_count": z(), "quality": z(), "age": z(), "last_mag": z(),
+            # The VHDL best_distance signal (tws_tracker.vhd:84) carried
+            # across tracks/scans — used only by assoc="hw".
+            "assoc_best": np.full(1, (1 << 16) - 1, dtype=np.int64)}
 
 
 def step(state: dict, det_range, det_doppler, det_mag,
@@ -85,6 +88,7 @@ def step(state: dict, det_range, det_doppler, det_mag,
         # initiation, so tracking is unaffected but reported positions are
         # two's-complement (Doppler >= 64 reads as negative Doppler).
         best_d, best_i = (1 << 16) - 1, -1
+        hw_stale = int(s["assoc_best"][0])  # assoc="hw": previous track's best
         for d in range(ndet):
             if associated[d]:
                 continue
@@ -92,8 +96,16 @@ def step(state: dict, det_range, det_doppler, det_mag,
             dist_d = abs(int(s["dopp_pos"][ti]) - int(_wrap(int(dd[d]) << 2, 9)))
             if dist_r < tp.assoc_gate_r * 4 and dist_d < tp.assoc_gate_d * 4:
                 dist = dist_r + dist_d
-                if dist < best_d:
+                if tp.assoc == "hw":
+                    # VHDL signal semantics: every candidate compares against
+                    # the stale pre-cycle best; the last qualifying
+                    # assignment wins (tws_tracker.vhd:159-178).
+                    if dist < hw_stale:
+                        best_d, best_i = dist, d
+                elif dist < best_d:
                     best_d, best_i = dist, d
+        if tp.assoc == "hw":
+            s["assoc_best"][0] = best_d  # committed for the next active track
         if best_i >= 0:
             associated[best_i] = True
             meas_r = int(_wrap(int(dr[best_i]) << 2, 12))

@@ -111,7 +111,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         mag = M.magnitude_fixed(re.astype(jnp.int32), im.astype(jnp.int32))
         det, threshold, scale = C.cfar_2d_auto(
             mag, scale_override, cfar=p.cfar, integer=True,
-            method=cfar_method)
+            method=cfar_method, int_bits=16)
         return mag, det, threshold, scale, (s1 + s2).astype(jnp.int32), jnp.int32(0)
 
     path = {"float32": float_path, "fixed": fixed_path}[mode]

@@ -22,6 +22,11 @@ MACH_MPS = 340.29
 NM_TO_M = 1852.0
 
 
+def _vhdl_int(x) -> int:
+    """VHDL integer() conversion: round to nearest, ties away from zero."""
+    return int(np.floor(abs(x) + 0.5) * np.sign(x)) if x else 0
+
+
 @dataclasses.dataclass
 class ScenarioConfig:
     """Physics constants of tb_tactical.vhd:44-63 with quick/full counts."""
@@ -71,13 +76,14 @@ def _rcs_to_amp(rcs: float, rng: float) -> float:
 
 def _vel_to_doppler_bin(vel: float, prf: float, cfg: ScenarioConfig,
                         n_doppler: int) -> int:
-    """Doppler bin with +N/2 offset and wrap (tb_tactical.vhd:164-171)."""
-    b = int((2.0 * vel / cfg.wavelength / prf) * n_doppler) + n_doppler // 2
+    """Doppler bin with +N/2 offset and wrap (tb_tactical.vhd:164-171);
+    VHDL integer() rounds to nearest (not truncation)."""
+    b = _vhdl_int((2.0 * vel / cfg.wavelength / prf) * n_doppler) + n_doppler // 2
     return b % n_doppler
 
 
 def _range_to_bin(rng: float, cfg: ScenarioConfig, n_range: int) -> int:
-    return int((rng / cfg.max_range_m) * n_range)
+    return _vhdl_int((rng / cfg.max_range_m) * n_range)
 
 
 class TacticalScenario:
@@ -155,10 +161,10 @@ class TacticalScenario:
             tone_c = np.exp(2j * np.pi * db * c / p.n_doppler)
             acc += tone_c[:, None] * tone_s[None, :]
 
-        # Sea clutter in the first clutter_rng_m of range
-        # (tb_tactical.vhd:289-298): random amplitude tapering with range,
-        # random Doppler spread +-2 bins.
-        n_clut = min(int(cfg.clutter_rng_m / cfg.range_res_m), p.n_range)
+        # Sea clutter where s * range_res < clutter_rng strictly
+        # (tb_tactical.vhd:290): the cell count is ceil(rng/res).
+        n_clut = min(int(np.ceil(cfg.clutter_rng_m / cfg.range_res_m)),
+                     p.n_range)
         if n_clut > 0:
             sc = s[:n_clut]
             camp = (cfg.sea_clutter * (1.0 - sc / p.n_range)
@@ -173,8 +179,12 @@ class TacticalScenario:
         acc += (self.rng.normal(0.0, cfg.thermal_noise, acc.shape)
                 + 1j * self.rng.normal(0.0, cfg.thermal_noise, acc.shape))
 
-        re = np.clip(np.trunc(acc.real), -32000, 32000)
-        im = np.clip(np.trunc(acc.imag), -32000, 32000)
+        # Quantize like the TB: clip to +-32000 then VHDL integer()
+        # round-to-nearest (tb_tactical.vhd:306-312).
+        re = np.clip(acc.real, -32000, 32000)
+        im = np.clip(acc.imag, -32000, 32000)
+        re = np.floor(np.abs(re) + 0.5) * np.sign(re)
+        im = np.floor(np.abs(im) + 0.5) * np.sign(im)
         return re + 1j * im, truth
 
     def run(self):

@@ -46,7 +46,8 @@ def init_state(tp: TrackerParams | None = None) -> dict:
     z = jnp.zeros(tp.max_tracks, dtype=jnp.int32)
     return {"active": z, "status": z, "range_pos": z, "dopp_pos": z,
             "range_vel": z, "dopp_vel": z, "hit_count": z, "miss_count": z,
-            "quality": z, "age": z, "last_mag": z}
+            "quality": z, "age": z, "last_mag": z,
+            "assoc_best": jnp.full(1, (1 << 16) - 1, dtype=jnp.int32)}
 
 
 @functools.partial(jax.jit, static_argnames=("tp",))
@@ -83,9 +84,25 @@ def step(state: dict, det_range: jnp.ndarray, det_doppler: jnp.ndarray,
         in_gate = (dv & ~claimed & (dist_r < tp.assoc_gate_r * 4)
                    & (dist_d < tp.assoc_gate_d * 4))
         dist = jnp.where(in_gate, dist_r + dist_d, (1 << 16) - 1)
-        best_i = jnp.argmin(dist)          # first minimum wins ties
-        best_d = dist[best_i]
-        found = active & (best_d < (1 << 16) - 1)
+        if tp.assoc == "hw":
+            # VHDL signal semantics (tws_tracker.vhd:159-178): candidates
+            # compare against the stale best carried from the previous
+            # active track; the last qualifying detection index wins.
+            stale = st["assoc_best"][0]
+            qual = in_gate & (dist < stale)
+            any_q = jnp.any(qual)
+            best_i = jnp.max(jnp.where(qual, jnp.arange(dv.shape[0]), -1))
+            best_i = jnp.maximum(best_i, 0)
+            best_d = jnp.where(any_q, dist[best_i], (1 << 16) - 1)
+            found = active & any_q
+            st = dict(st)
+            st["assoc_best"] = jnp.where(active,
+                                         st["assoc_best"].at[0].set(best_d),
+                                         st["assoc_best"])
+        else:
+            best_i = jnp.argmin(dist)      # first minimum wins ties
+            best_d = dist[best_i]
+            found = active & (best_d < (1 << 16) - 1)
 
         innov_r = _wrap(meas_r[best_i] - st["range_pos"][ti], 12)
         innov_d = _wrap(meas_d[best_i] - st["dopp_pos"][ti], 9)

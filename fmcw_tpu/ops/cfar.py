@@ -104,7 +104,7 @@ def _order_statistic(refs: jnp.ndarray, rank_idx: int) -> jnp.ndarray:
 def cfar_2d_auto(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
                  cfar: CfarParams = CfarParams(), integer: bool = False,
                  prepadded_range: bool = False, method: str = "auto",
-                 rank_bits: int | None = None):
+                 rank_bits: int | None = None, int_bits: int = 17):
     """Dispatch between the XLA formulation (this module) and the Pallas
     bit-serial kernel (ops/cfar_pallas.py).  ``auto`` uses Pallas for the OS
     variant on TPU; XLA for CA/GO/SO and on non-TPU backends (where Pallas
@@ -118,7 +118,8 @@ def cfar_2d_auto(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
         return cfar_2d_pallas(mag_map, scale_override, cfar=cfar,
                               integer=integer,
                               prepadded_range=prepadded_range,
-                              interpret=interpret, rank_bits=rank_bits)
+                              interpret=interpret, rank_bits=rank_bits,
+                              int_bits=int_bits)
     return cfar_2d(mag_map, scale_override, cfar=cfar, integer=integer,
                    prepadded_range=prepadded_range)
 
@@ -226,7 +227,6 @@ def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
                                    integer=integer, method=method)
         return jax.vmap(f)(cube)
 
-    win_a = 2 * ref_angle + 2 * guard_angle + 1
     offs3 = []
     for da in range(-(ref_angle + guard_angle), ref_angle + guard_angle + 1):
         for d in range(cfar.win_doppler):
@@ -243,14 +243,36 @@ def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     n_ref = len(offs3)
     rank_idx = min((n_ref * cfar.rank_pct) // 100, n_ref - 1)
 
-    views = [jnp.roll(cube, (-da, -dr, -dd), axis=(0, 1, 2))
-             for da, dr, dd in offs3]
+    ha = ref_angle + guard_angle
+    hr, hd = cfar.halo_range, cfar.halo_doppler
+    padded = jnp.pad(cube, ((ha, ha), (hr, hr), (hd, hd)),
+                     mode=cfar.edge_mode)
+    A, R, D = cube.shape
+
+    def view(da, dr, dd):
+        return jax.lax.dynamic_slice(padded, (ha + da, hr + dr, hd + dd),
+                                     (A, R, D))
+
+    views = [view(da, dr, dd) for da, dr, dd in offs3]
     refs = jnp.stack(views, axis=-1)
     sum_refs = jnp.sum(refs, axis=-1)
     if cfar.variant == "os":
         est = _order_statistic(refs, rank_idx)
-    else:
+    elif cfar.variant == "ca":
         est = sum_refs // n_ref if integer else sum_refs / n_ref
+    elif cfar.variant in ("go", "so"):
+        # Pure leading/lagging range blocks across all angle planes.
+        o = np.array(offs3)
+        lead_idx = np.nonzero(o[:, 1] < -cfar.guard_range)[0]
+        lag_idx = np.nonzero(o[:, 1] > cfar.guard_range)[0]
+        lead = sum(views[int(i)] for i in lead_idx)
+        lag = sum(views[int(i)] for i in lag_idx)
+        nl, ng = len(lead_idx), len(lag_idx)
+        ml = lead // nl if integer else lead / nl
+        mg = lag // ng if integer else lag / ng
+        est = jnp.maximum(ml, mg) if cfar.variant == "go" else jnp.minimum(ml, mg)
+    else:
+        raise ValueError(cfar.variant)
 
     so = jnp.asarray(scale_override)
     if integer:
@@ -269,14 +291,21 @@ def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     return det, threshold, scale
 
 
-def peak_group(det_map: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
+def peak_group(det_map: jnp.ndarray, radius: int = 1,
+               row_ids: jnp.ndarray | None = None) -> jnp.ndarray:
     """Peak grouping: keep detections that are the strict local max of their
     (2r+1)^2 neighborhood, ties broken toward the lower linear index (matches
-    golden fixed_point.peak_group)."""
+    golden fixed_point.peak_group).
+
+    ``row_ids``: optional global row index per input row — pass it when the
+    input is a halo-extended shard (parallel/sharded.py) so tie-breaking uses
+    the same global ids as the single-chip path (a tie straddling the global
+    wrap seam would otherwise resolve by inverted local ids)."""
     m = det_map
     R, D = m.shape
     p = jnp.pad(m, ((radius, radius), (radius, radius)), mode="wrap")
-    ids = (jnp.arange(R)[:, None] * D + jnp.arange(D)[None, :])
+    rows = jnp.arange(R) if row_ids is None else row_ids.astype(jnp.int32)
+    ids = rows[:, None] * D + jnp.arange(D)[None, :]
     pid = jnp.pad(ids, ((radius, radius), (radius, radius)), mode="wrap")
     best = jnp.full_like(m, jnp.iinfo(jnp.int32).min if
                          jnp.issubdtype(m.dtype, jnp.integer) else -jnp.inf)

@@ -132,11 +132,12 @@ def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("cfar", "integer", "prepadded_range", "tile_rows",
-                     "interpret", "rank_bits"))
+                     "interpret", "rank_bits", "int_bits"))
 def cfar_2d_pallas(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
                    cfar: CfarParams = CfarParams(), integer: bool = False,
                    prepadded_range: bool = False, tile_rows: int = 64,
-                   interpret: bool = False, rank_bits: int | None = None):
+                   interpret: bool = False, rank_bits: int | None = None,
+                   int_bits: int = 17):
     """Drop-in replacement for ops.cfar.cfar_2d (OS variant) returning
     (det_map, threshold, scale).  ``interpret=True`` runs the Pallas
     interpreter (CPU tests).
@@ -159,7 +160,10 @@ def cfar_2d_pallas(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
 
     if integer:
         m32 = m.astype(jnp.int32)
-        bits = 16  # magnitude <= 45056 < 2^16 (max + max/4 + max/8 of int16)
+        # int_bits must cover the map's value range (silently wrong ranks
+        # otherwise); default 17 = the magnitude op's output width.  The
+        # pipelines pass 16: alpha-max-beta-min of int16 is <= 45056 < 2^16.
+        bits = int_bits
     else:
         # Non-negative f32 sorts like its bit pattern: rank in int domain.
         m32 = jax.lax.bitcast_convert_type(m.astype(jnp.float32), jnp.int32)
@@ -218,4 +222,5 @@ def cfar_2d_pallas(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     else:
         det = jax.lax.bitcast_convert_type(det32, jnp.float32)
         thr = jax.lax.bitcast_convert_type(thr32, jnp.float32)
+        scale_out = scale_out.astype(jnp.float32)  # match the XLA path's dtype
     return det, thr, scale_out

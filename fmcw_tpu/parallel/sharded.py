@@ -69,6 +69,12 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
     if p.n_doppler % sp or p.n_range % sp:
         raise ValueError(f"n_doppler={p.n_doppler} and n_range={p.n_range} "
                          f"must divide the sp axis ({sp})")
+    if p.cfar.edge_mode != "wrap" and sp > 1:
+        # The ring halo exchange realizes wrap (torus) range edges; reflect
+        # edges would need masked edge shards — not implemented.
+        raise NotImplementedError(
+            f"sharded CFAR supports edge_mode='wrap' only (got "
+            f"{p.cfar.edge_mode!r} with sp={sp})")
     max_dets = p.tracker.max_dets
     nr_local = p.n_range // sp
     hr = p.cfar.halo_range
@@ -128,13 +134,19 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
         det, _, _ = C.cfar_2d_auto(mag_h, scale_override, cfar=p.cfar,
                                    integer=(mode == "fixed"),
                                    prepadded_range=True,
-                                   method=cfar_method,
+                                   method=cfar_method, int_bits=16,
                                    rank_bits=(None if mode == "fixed"
                                               else cfar_rank_bits))
         if peak_group_radius > 0:
             # Peak grouping also needs neighbor context; reuse the exchange.
+            # Global row ids keep tie-breaking identical to single chip even
+            # across the global wrap seam.
             det_h = _halo_exchange_rows(det, peak_group_radius, "sp")
-            det = C.peak_group(det_h, radius=peak_group_radius)[
+            gr = (sp_idx * nr_local
+                  + jnp.arange(-peak_group_radius,
+                               nr_local + peak_group_radius)) % p.n_range
+            det = C.peak_group(det_h, radius=peak_group_radius,
+                               row_ids=gr)[
                 peak_group_radius:-peak_group_radius]
 
         # Local detection extraction with global range coordinates, then

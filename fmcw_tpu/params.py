@@ -88,6 +88,14 @@ class TrackerParams:
     assoc_gate_d: int = 5       # association gate, Doppler bins
     alpha_gain: int = 128       # position gain, Q8 (128/256 = 0.5)
     beta_gain: int = 64         # velocity gain, Q8 (64/256 = 0.25)
+    # Association semantics.  "nearest": clean nearest-neighbor, first
+    # detection wins ties (the intended algorithm).  "hw": bit-faithful to
+    # the VHDL, whose best_distance/best_det_idx are *signals*
+    # (tws_tracker.vhd:84-85) — each candidate compares against the stale
+    # value carried from the previous active track's association (or the
+    # previous scan's last), and the last qualifying detection wins.  See
+    # docs/design_notes.md §7.
+    assoc: str = "nearest"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,9 +24,24 @@ def test_variants_match_golden():
     for variant in ("os", "ca", "go", "so"):
         cf = CfarParams(ref_range=2, ref_doppler=2, guard_range=1,
                         guard_doppler=1, variant=variant)
-        det_j, _, _ = C.cfar_2d(m, 0, cfar=cf, integer=True)
-        det_g = fx.os_cfar_2d(m.astype(np.int64), cf)
+        det_j, thr_j, _ = C.cfar_2d(m, 0, cfar=cf, integer=True)
+        det_g, thr_g, _ = fx.os_cfar_2d(m.astype(np.int64), cf,
+                                        return_debug=True)
+        # Threshold maps (not just detections) must agree bit-for-bit.
+        assert np.array_equal(np.asarray(thr_j), thr_g), variant
         assert np.array_equal(np.asarray(det_j), det_g), variant
+
+
+def test_variants_match_golden_full_geometry():
+    rng = np.random.default_rng(9)
+    m = rng.integers(50, 2000, (128, 128)).astype(np.int32)
+    m[64, 64] = 40000
+    for variant in ("os", "ca", "go", "so"):
+        cf = CfarParams(variant=variant)  # default 13x11 window
+        det_j, thr_j, _ = C.cfar_2d(m, 0, cfar=cf, integer=True)
+        det_g, thr_g, _ = fx.os_cfar_2d(m.astype(np.int64), cf,
+                                        return_debug=True)
+        assert np.array_equal(np.asarray(thr_j), thr_g), variant
 
 
 def test_cfar_3d_independent_angles():

@@ -147,3 +147,50 @@ def test_jax_run_scans_scan_loop():
     for key in gs:
         assert np.array_equal(np.asarray(final[key]), gs[key]), key
     assert reps["active_tracks"].shape == (8,)
+
+
+def test_hw_association_semantics():
+    """assoc="hw" reproduces the VHDL stale-signal ASSOCIATE behavior
+    (tws_tracker.vhd:84-85,159-178; docs/design_notes.md §7)."""
+    import dataclasses
+    hw = dataclasses.replace(TP, assoc="hw")
+    # Seed a confirmed track at (100, 40).
+    state = gt.init_state(hw)
+    for _ in range(2):
+        state, _ = gt.step(state, [100], [40], [1000], hw)
+    # An empty scan: no qualifying candidate, so the stale best resets to
+    # 65535 (the matched-at-distance-0 value would otherwise starve
+    # everything — itself part of the hw semantics).
+    state, _ = gt.step(state, [], [], [], hw)
+    # Two in-gate detections: d0 at distance 4, d1 at distance 8.  Hardware:
+    # both qualify vs the stale 65535, the LAST wins -> track takes d1.
+    state_hw, _ = gt.step({k: v.copy() for k, v in state.items()},
+                          [101, 102], [40, 40], [111, 222], hw)
+    assert state_hw["last_mag"][0] == 222
+    # Clean mode takes the nearest (d0).
+    state_nn, _ = gt.step({k: v.copy() for k, v in state.items()},
+                          [101, 102], [40, 40], [111, 222], TP)
+    assert state_nn["last_mag"][0] == 111
+    # Cross-track starvation: two tracks, track 0 matches at distance 0 ->
+    # track 1's candidates must beat 0, impossible -> track 1 misses.
+    state2 = gt.init_state(hw)
+    state2, _ = gt.step(state2, [100, 600], [40, 80], [1, 2], hw)
+    state2, rep = gt.step(state2, [100, 600], [40, 80], [1, 2], hw)
+    assert state2["hit_count"][0] == 2          # track 0 associated
+    assert state2["miss_count"][1] == 1         # track 1 starved
+
+
+def test_jax_tracker_matches_golden_hw_fuzz():
+    import dataclasses
+    hw = dataclasses.replace(TP, assoc="hw")
+    for seed in range(2):
+        stream = _random_stream(seed)
+        gs = gt.init_state(hw)
+        js = jt.init_state(hw)
+        for (r, d, m) in stream:
+            gs, grep = gt.step(gs, r, d, m, hw)
+            js, jrep = jt.step(js, *_jax_step_inputs(r, d, m, TP.max_dets),
+                               tp=hw)
+            for key in gs:
+                assert np.array_equal(np.asarray(js[key]), gs[key]), (
+                    seed, key, np.asarray(js[key]), gs[key])
