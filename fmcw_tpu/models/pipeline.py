@@ -86,7 +86,8 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         mag = M.magnitude_float(re, im, exact=magnitude_exact)
         det, threshold, scale = C.cfar_2d_auto(
             mag, scale_override, cfar=p.cfar, integer=False,
-            method=cfar_method, rank_bits=cfar_rank_bits)
+            method=cfar_method, rank_bits=cfar_rank_bits,
+            need_debug=include_debug)
         nonfinite = jnp.sum(~jnp.isfinite(mag)).astype(jnp.int32)
         return mag, det, threshold, scale, jnp.int32(0), nonfinite
 
@@ -111,7 +112,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         mag = M.magnitude_fixed(re.astype(jnp.int32), im.astype(jnp.int32))
         det, threshold, scale = C.cfar_2d_auto(
             mag, scale_override, cfar=p.cfar, integer=True,
-            method=cfar_method, int_bits=16)
+            method=cfar_method, int_bits=16, need_debug=include_debug)
         return mag, det, threshold, scale, (s1 + s2).astype(jnp.int32), jnp.int32(0)
 
     path = {"float32": float_path, "fixed": fixed_path}[mode]

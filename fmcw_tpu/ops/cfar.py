@@ -104,17 +104,29 @@ def _order_statistic(refs: jnp.ndarray, rank_idx: int) -> jnp.ndarray:
 def cfar_2d_auto(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
                  cfar: CfarParams = CfarParams(), integer: bool = False,
                  prepadded_range: bool = False, method: str = "auto",
-                 rank_bits: int | None = None, int_bits: int = 17):
+                 rank_bits: int | None = None, int_bits: int = 17,
+                 need_debug: bool = True):
     """Dispatch between the XLA formulation (this module) and the Pallas
-    bit-serial kernel (ops/cfar_pallas.py).  ``auto`` uses Pallas for the OS
-    variant on TPU; XLA for CA/GO/SO and on non-TPU backends (where Pallas
-    would run interpreted — available explicitly via method="pallas")."""
+    kernels (ops/cfar_pallas.py).  ``auto`` uses Pallas for the OS variant on
+    TPU; XLA for CA/GO/SO and on non-TPU backends (where Pallas would run
+    interpreted — available explicitly via method="pallas").
+
+    ``need_debug=False`` (and an OS-variant Pallas dispatch) selects the
+    count-only detection kernel, which skips the rank selection entirely:
+    the returned det_map/scale are bit-exact vs the XLA path but
+    ``threshold`` comes back as None — only pass False when the
+    dbg_threshold tap is unused (include_debug=False pipelines)."""
     if method == "auto":
         method = ("pallas" if cfar.variant == "os"
                   and jax.default_backend() == "tpu" else "xla")
     if method == "pallas":
-        from .cfar_pallas import cfar_2d_pallas
+        from .cfar_pallas import cfar_2d_pallas, cfar_2d_pallas_detect
         interpret = jax.default_backend() != "tpu"
+        if not need_debug:
+            det, scale = cfar_2d_pallas_detect(
+                mag_map, scale_override, cfar=cfar, integer=integer,
+                prepadded_range=prepadded_range, interpret=interpret)
+            return det, None, scale
         return cfar_2d_pallas(mag_map, scale_override, cfar=cfar,
                               integer=integer,
                               prepadded_range=prepadded_range,

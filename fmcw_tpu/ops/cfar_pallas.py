@@ -129,6 +129,174 @@ def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
     scale_ref[...] = scale.astype(jnp.int32)
 
 
+def _kernel_detect(mag_ref, padded_ref, so_ref, det_ref, scale_ref,
+                   rot_ref, refs_ref, *, cfar: CfarParams, integer: bool,
+                   tile_rows: int):
+    """Detect-only variant: decides ``CUT > est*scale`` purely by counting,
+    never materializing the order statistic.
+
+    The bit-serial kernel (_kernel) walks ``bits`` candidate prefixes to
+    recover est explicitly — needed for the dbg_threshold tap
+    (os_cfar_2d.vhd:34).  When only the detection map is consumed, every
+    comparison against est collapses to one counting pass, because for the
+    k-th largest reference value:
+
+        est >  T  <=>  count(refs >  T) >= k
+        est <  T  <=>  count(refs >= T) <  k
+        est*scale >= cut  <=>  count(refs*scale >= cut) >= k
+
+    (the last since multiplication by a positive scale is monotone — also in
+    float round-to-nearest — so the k-th largest of the scaled multiset IS
+    est*scale).  Three counting passes + one mean pass replace the
+    ``bits``-pass radix loop: ~4x fewer VPU ops per cell, and the results are
+    bit-exact against ops.cfar.cfar_2d in both integer and float modes
+    (stronger than the truncated-key rank_bits=16 production rank path).
+    """
+    i = pl.program_id(0)
+    hr, hd = cfar.halo_range, cfar.halo_doppler
+    D = mag_ref.shape[1]
+    row0 = i * tile_rows
+    k = cfar.n_ref - cfar.rank_idx
+    offsets = _window_offsets(cfar)
+
+    for j in range(cfar.win_doppler):
+        rot_ref[j] = padded_ref[pl.ds(row0, tile_rows + 2 * hr),
+                                pl.ds(j, D)].astype(jnp.int32)
+    for idx, (dr, dd) in enumerate(offsets):
+        refs_ref[idx] = rot_ref[dd + hd, pl.ds(hr + dr, tile_rows), :]
+
+    zero = jnp.zeros((tile_rows, D), jnp.int32)
+
+    def fval(v):
+        return pltpu.bitcast(v, jnp.float32)
+
+    # Pass A: training-cell mean (adaptive-scale statistic).
+    if integer:
+        acc = zero
+        for idx in range(cfar.n_ref):
+            acc = acc + refs_ref[idx]
+        mean = acc // cfar.n_ref
+        t_hi = mean + (mean >> 1)
+        t_lo = mean >> 1
+    else:
+        accf = jnp.zeros((tile_rows, D), jnp.float32)
+        for idx in range(cfar.n_ref):
+            accf = accf + fval(refs_ref[idx])
+        mean = accf / cfar.n_ref
+        t_hi = 1.5 * mean
+        t_lo = 0.5 * mean
+
+    # Pass B: hi/lo clutter classification counts (os_cfar_2d.vhd:187-199).
+    cnt_hi = zero
+    cnt_lo = zero
+    for idx in range(cfar.n_ref):
+        v = refs_ref[idx] if integer else fval(refs_ref[idx])
+        cnt_hi = cnt_hi + (v > t_hi).astype(jnp.int32)
+        cnt_lo = cnt_lo + (v >= t_lo).astype(jnp.int32)
+    hi = cnt_hi >= k        # est > mean*1.5
+    lo = cnt_lo < k         # est < mean*0.5
+    so = so_ref[0]
+    scale = jnp.where(hi, cfar.scale_max,
+                      jnp.where(lo, cfar.scale_min, cfar.scale_nom))
+    scale = jnp.where(so != 0, so, scale)
+
+    # Pass C: the threshold decision itself.
+    cnt_det = zero
+    if integer:
+        cut = mag_ref[...]
+        for idx in range(cfar.n_ref):
+            cnt_det = cnt_det + (refs_ref[idx] * scale >= cut).astype(jnp.int32)
+        det = (cnt_det < k) & (cut > 0)
+        det_ref[...] = jnp.where(det, cut, jnp.zeros_like(cut))
+    else:
+        cut = fval(mag_ref[...])
+        scale_f = scale.astype(jnp.float32)
+        for idx in range(cfar.n_ref):
+            cnt_det = cnt_det + (fval(refs_ref[idx]) * scale_f
+                                 >= cut).astype(jnp.int32)
+        det = (cnt_det < k) & (cut > 0.0)
+        det_ref[...] = pltpu.bitcast(
+            jnp.where(det, cut, jnp.zeros_like(cut)), jnp.int32)
+    scale_ref[...] = scale.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfar", "integer", "prepadded_range", "tile_rows",
+                     "interpret"))
+def cfar_2d_pallas_detect(mag_map: jnp.ndarray,
+                          scale_override: jnp.ndarray | int = 0,
+                          cfar: CfarParams = CfarParams(),
+                          integer: bool = False,
+                          prepadded_range: bool = False, tile_rows: int = 64,
+                          interpret: bool = False):
+    """Fast path for consumers that only need the detection map (and scale):
+    returns (det_map, scale) with det_map bit-exact vs ops.cfar.cfar_2d's.
+    See _kernel_detect for why this needs no rank selection."""
+    if cfar.variant != "os":
+        raise ValueError("pallas kernel implements the os variant; use "
+                         "ops.cfar.cfar_2d for ca/go/so")
+    hr, hd = cfar.halo_range, cfar.halo_doppler
+    m = mag_map
+    integer_in = jnp.issubdtype(m.dtype, jnp.integer)
+    if integer != integer_in:
+        raise ValueError(f"integer={integer} but map dtype {m.dtype}")
+
+    if integer:
+        m32 = m.astype(jnp.int32)
+    else:
+        m32 = jax.lax.bitcast_convert_type(m.astype(jnp.float32), jnp.int32)
+
+    if prepadded_range:
+        R = m.shape[0] - 2 * hr
+        padded = jnp.pad(m32, ((0, 0), (hd, hd)), mode=cfar.edge_mode)
+        core = m32[hr:-hr]
+    else:
+        R = m.shape[0]
+        padded = jnp.pad(m32, ((hr, hr), (hd, hd)), mode=cfar.edge_mode)
+        core = m32
+    D = m.shape[1]
+    if R % tile_rows:
+        tile_rows = int(np.gcd(R, tile_rows))
+    n_tiles = R // tile_rows
+
+    so = jnp.asarray(scale_override, jnp.int32).reshape(1)
+    det32, scale_out = pl.pallas_call(
+        functools.partial(_kernel_detect, cfar=cfar, integer=integer,
+                          tile_rows=tile_rows),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R + 2 * hr, D + 2 * hd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, D), jnp.int32),
+            jax.ShapeDtypeStruct((R, D), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cfar.win_doppler, tile_rows + 2 * hr, D), jnp.int32),
+            pltpu.VMEM((cfar.n_ref, tile_rows, D), jnp.int32),
+        ],
+        interpret=interpret,
+    )(core, padded, so)
+
+    if integer:
+        det = det32.astype(m.dtype)
+    else:
+        det = jax.lax.bitcast_convert_type(det32, jnp.float32)
+        scale_out = scale_out.astype(jnp.float32)
+    return det, scale_out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfar", "integer", "prepadded_range", "tile_rows",

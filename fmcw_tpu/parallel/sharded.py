@@ -136,7 +136,8 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
                                    prepadded_range=True,
                                    method=cfar_method, int_bits=16,
                                    rank_bits=(None if mode == "fixed"
-                                              else cfar_rank_bits))
+                                              else cfar_rank_bits),
+                                   need_debug=False)
         if peak_group_radius > 0:
             # Peak grouping also needs neighbor context; reuse the exchange.
             # Global row ids keep tie-breaking identical to single chip even

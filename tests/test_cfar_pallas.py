@@ -10,7 +10,7 @@ import pytest
 
 from fmcw_tpu import CfarParams
 from fmcw_tpu.ops import cfar as C
-from fmcw_tpu.ops.cfar_pallas import cfar_2d_pallas
+from fmcw_tpu.ops.cfar_pallas import cfar_2d_pallas, cfar_2d_pallas_detect
 
 FULL = CfarParams()
 QUICK = CfarParams(ref_range=2, ref_doppler=2, guard_range=1, guard_doppler=1)
@@ -63,3 +63,55 @@ def test_rejects_non_os_variant():
         cfar_2d_pallas(_int_map(), 0,
                        cfar=CfarParams(variant="ca"), integer=True,
                        interpret=True)
+
+
+# --- count-only detection kernel (cfar_2d_pallas_detect) -------------------
+
+@pytest.mark.parametrize("cfar", [FULL, QUICK], ids=["full", "quick"])
+@pytest.mark.parametrize("so", [0, 6], ids=["auto", "override"])
+def test_detect_integer_bit_exact(cfar, so):
+    m = _int_map(seed=11)
+    # Low-entropy values force heavy ties — the regime where a non-exact
+    # counting equivalence would diverge from the explicit order statistic.
+    m[:64] = (m[:64] // 8192) * 8192
+    d1, _, s1 = C.cfar_2d(m, so, cfar=cfar, integer=True)
+    d2, s2 = cfar_2d_pallas_detect(m, so, cfar=cfar, integer=True,
+                                   interpret=True)
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_detect_float_bit_exact():
+    rng = np.random.default_rng(7)
+    m = (rng.random((256, 128)) * 1e8).astype(np.float32)
+    m[40, 40] = 9e8
+    m[200:208] = np.float32(3e7)  # tie block
+    d1, _, s1 = C.cfar_2d(m, 0, cfar=FULL, integer=False)
+    d2, s2 = cfar_2d_pallas_detect(m, 0, cfar=FULL, integer=False,
+                                   interpret=True)
+    # Exact (not just decision-level) parity: scaled-count equivalence is
+    # bit-exact against the XLA order-statistic path, float mode included.
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+    assert np.array_equal(np.asarray(s1).astype(np.float32), np.asarray(s2))
+
+
+def test_detect_prepadded_matches():
+    m = _int_map((128, 64), seed=13)
+    hr = QUICK.halo_range
+    mp = np.pad(m, ((hr, hr), (0, 0)), mode="wrap")
+    d1, _ = cfar_2d_pallas_detect(m, 0, cfar=QUICK, integer=True,
+                                  interpret=True)
+    d2, _ = cfar_2d_pallas_detect(mp, 0, cfar=QUICK, integer=True,
+                                  prepadded_range=True, interpret=True)
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_auto_dispatch_detect_only():
+    # need_debug=False + pallas => threshold None, det/scale exact.
+    m = _int_map((128, 64), seed=17)
+    d1, t1, s1 = C.cfar_2d_auto(m, 0, cfar=QUICK, integer=True, method="xla")
+    d2, t2, s2 = C.cfar_2d_auto(m, 0, cfar=QUICK, integer=True,
+                                method="pallas", need_debug=False)
+    assert t2 is None and t1 is not None
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
