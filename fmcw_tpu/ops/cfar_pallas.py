@@ -162,26 +162,29 @@ def _kernel_detect(mag_ref, padded_ref, so_ref, det_ref, scale_ref,
     for j in range(cfar.win_doppler):
         rot_ref[j] = padded_ref[pl.ds(row0, tile_rows + 2 * hr),
                                 pl.ds(j, D)].astype(jnp.int32)
-    for idx, (dr, dd) in enumerate(offsets):
-        refs_ref[idx] = rot_ref[dd + hd, pl.ds(hr + dr, tile_rows), :]
 
     zero = jnp.zeros((tile_rows, D), jnp.int32)
 
     def fval(v):
         return pltpu.bitcast(v, jnp.float32)
 
-    # Pass A: training-cell mean (adaptive-scale statistic).
+    # Materialize the training planes; the mean (adaptive-scale statistic)
+    # accumulates inside the same loop while each plane is still live.
     if integer:
         acc = zero
-        for idx in range(cfar.n_ref):
-            acc = acc + refs_ref[idx]
+        for idx, (dr, dd) in enumerate(offsets):
+            v = rot_ref[dd + hd, pl.ds(hr + dr, tile_rows), :]
+            refs_ref[idx] = v
+            acc = acc + v
         mean = acc // cfar.n_ref
         t_hi = mean + (mean >> 1)
         t_lo = mean >> 1
     else:
         accf = jnp.zeros((tile_rows, D), jnp.float32)
-        for idx in range(cfar.n_ref):
-            accf = accf + fval(refs_ref[idx])
+        for idx, (dr, dd) in enumerate(offsets):
+            v = rot_ref[dd + hd, pl.ds(hr + dr, tile_rows), :]
+            refs_ref[idx] = v
+            accf = accf + fval(v)
         mean = accf / cfar.n_ref
         t_hi = 1.5 * mean
         t_lo = 0.5 * mean
@@ -203,17 +206,35 @@ def _kernel_detect(mag_ref, padded_ref, so_ref, det_ref, scale_ref,
     # Pass C: the threshold decision itself.
     cnt_det = zero
     if integer:
+        # refs*scale >= cut  <=>  refs >= ceil(cut/scale): one per-cell
+        # division replaces n_ref per-ref multiplies.  The f32 quotient is
+        # exact at these widths (cut <= 2^int_bits < 2^24; a non-integer
+        # rational p/scale is >= 1/scale away from an integer, far beyond
+        # f32 ulp), so floor((cut-1)/scale) + 1 is the exact ceiling.
         cut = mag_ref[...]
+        q = jnp.floor((cut - 1).astype(jnp.float32)
+                      / scale.astype(jnp.float32)).astype(jnp.int32) + 1
         for idx in range(cfar.n_ref):
-            cnt_det = cnt_det + (refs_ref[idx] * scale >= cut).astype(jnp.int32)
+            cnt_det = cnt_det + (refs_ref[idx] >= q).astype(jnp.int32)
         det = (cnt_det < k) & (cut > 0)
         det_ref[...] = jnp.where(det, cut, jnp.zeros_like(cut))
     else:
+        # Same idea in f32: v*scale >= cut  <=>  v >= q_min where q_min is
+        # the smallest float whose rounded product reaches cut (the map
+        # v -> RN(v*scale) is monotone, so the threshold is a single float).
+        # q_min lies within 2 ulps below RN(cut/scale): probe the 4
+        # candidates once per cell instead of multiplying every ref
+        # (fuzz-validated over engineered boundary cases in
+        # tests/test_cfar_pallas.py::test_detect_float_qmin_fuzz).
         cut = fval(mag_ref[...])
         scale_f = scale.astype(jnp.float32)
+        ti = pltpu.bitcast(cut / scale_f, jnp.int32)
+        q = pltpu.bitcast(ti + 1, jnp.float32)
+        for delta in (0, -1, -2):
+            c = pltpu.bitcast(ti + delta, jnp.float32)
+            q = jnp.where(c * scale_f >= cut, c, q)
         for idx in range(cfar.n_ref):
-            cnt_det = cnt_det + (fval(refs_ref[idx]) * scale_f
-                                 >= cut).astype(jnp.int32)
+            cnt_det = cnt_det + (fval(refs_ref[idx]) >= q).astype(jnp.int32)
         det = (cnt_det < k) & (cut > 0.0)
         det_ref[...] = pltpu.bitcast(
             jnp.where(det, cut, jnp.zeros_like(cut)), jnp.int32)

@@ -95,6 +95,43 @@ def test_detect_float_bit_exact():
     assert np.array_equal(np.asarray(s1).astype(np.float32), np.asarray(s2))
 
 
+def test_detect_float_qmin_fuzz():
+    # Candidate lemma behind the kernel's float fast path: the smallest q
+    # with RN(q*s) >= cut is within 2 ulps below RN(cut/s).  Brute-force the
+    # per-ref-multiply ground truth on engineered boundary values.
+    rng = np.random.default_rng(0)
+    n = 200_000
+    for scale in (2.0, 4.0, 6.0):
+        s = np.float32(scale)
+        cut = (rng.random(n, dtype=np.float32) * np.float32(1e6)
+               + np.float32(1.0))
+        t0 = (cut / s).astype(np.float32)
+        ti = t0.view(np.int32)
+        v = (ti + rng.integers(-3, 4, n).astype(np.int32)).view(np.float32)
+        lhs = (v * s) >= cut
+        q = (ti + 1).view(np.float32)
+        for delta in (0, -1, -2):
+            c = (ti + delta).view(np.float32)
+            q = np.where((c * s) >= cut, c, q)
+        assert np.array_equal(lhs, v >= q), f"scale={scale}"
+
+
+def test_detect_float_boundary_map():
+    # Map whose cells sit exactly on CUT/scale rounding boundaries of their
+    # neighbors: values are bit-neighbors of each other scaled by 4/6.
+    rng = np.random.default_rng(23)
+    base = np.float32(3e7)
+    steps = rng.integers(-2, 3, (256, 128)).astype(np.int32)
+    m = (base.view(np.int32) + steps).view(np.float32).astype(np.float32)
+    m[10, 10] = np.float32(4.0) * base  # exact 4x of a training neighbor
+    m[60, 60] = np.float32(6.0) * base
+    d1, _, s1 = C.cfar_2d(m, 0, cfar=FULL, integer=False)
+    d2, s2 = cfar_2d_pallas_detect(m, 0, cfar=FULL, integer=False,
+                                   interpret=True)
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+    assert np.array_equal(np.asarray(s1).astype(np.float32), np.asarray(s2))
+
+
 def test_detect_prepadded_matches():
     m = _int_map((128, 64), seed=13)
     hr = QUICK.halo_range

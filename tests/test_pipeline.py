@@ -124,6 +124,23 @@ def test_detection_topk_semantics():
     assert out["doppler_bin"][:3].tolist() == [5, 1, 2]
 
 
+def test_detection_topk_two_stage_identical():
+    # The large-map two-stage reduction must be indistinguishable from the
+    # flat top_k, including tie order (stable by row-major index).
+    from fmcw_tpu.ops.detect import topk_detections
+    rng = np.random.default_rng(0)
+    m = np.zeros((256, 128), dtype=np.float32)  # > 16384 cells -> two-stage
+    # sparse detections with heavy value ties across rows and columns
+    cells = rng.choice(256 * 128, size=300, replace=False)
+    m.ravel()[cells] = rng.choice([5.0, 7.0, 7.0, 9.0], size=300)
+    out = jax.tree.map(np.asarray, topk_detections(m, max_dets=64))
+    vals, idx = jax.lax.top_k(m.ravel(), 64)
+    assert np.array_equal(out["mag"], np.asarray(vals))
+    assert np.array_equal(out["range_bin"] * 128 + out["doppler_bin"],
+                          np.asarray(idx))
+    assert out["n_dets"] == 300
+
+
 def test_fft_methods_agree(qiq):
     from fmcw_tpu.ops import fft as F
     re = qiq[..., 0].astype(np.float32)
