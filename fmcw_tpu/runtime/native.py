@@ -54,6 +54,11 @@ def _load():
             lib.fmcwio_ring_close.argtypes = [ctypes.c_void_p]
             lib.fmcwio_ring_size.restype = ctypes.c_int
             lib.fmcwio_ring_size.argtypes = [ctypes.c_void_p]
+            lib.fmcwio_stream_file.restype = ctypes.c_void_p
+            lib.fmcwio_stream_file.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+            lib.fmcwio_stream_join.restype = ctypes.c_long
+            lib.fmcwio_stream_join.argtypes = [ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib = None
@@ -166,3 +171,74 @@ class FrameRing:
                 self._lib.fmcwio_ring_destroy(self._ring)
         except Exception:
             pass
+
+
+class FileFrameStreamer:
+    """Native threaded data loader: streams fixed-size int16 frames from a
+    raw binary file into a FrameRing on a C++ thread (no GIL), so disk IO
+    overlaps preprocessing and device compute.  Python-thread fallback when
+    the native library is unavailable.
+
+    Usage::
+
+        s = FileFrameStreamer(path, (n_doppler, n_range, 2), loops=4)
+        for frame in s.frames():
+            ...                       # blocking-pop until the file drains
+        pushed = s.join()             # frames produced (raises on IO error)
+    """
+
+    def __init__(self, path: str, frame_shape: tuple, capacity: int = 4,
+                 loops: int = 1):
+        self.ring = FrameRing(frame_shape, capacity=capacity)
+        self._path = path
+        self._loops = loops
+        self._joined = None
+        if self.ring._lib is not None:
+            if not os.path.exists(path):   # fail fast, not on the C++ thread
+                raise FileNotFoundError(path)
+            self._job = self.ring._lib.fmcwio_stream_file(
+                self.ring._ring, path.encode(), loops)
+        else:
+            self._job = None
+            self._pushed = 0
+            self._err = None
+
+            def _produce():
+                try:
+                    elems = self.ring.elems
+                    for _ in range(loops):
+                        raw = np.fromfile(path, dtype=np.int16)
+                        for i in range(len(raw) // elems):
+                            if not self.ring.push(
+                                    raw[i * elems:(i + 1) * elems]
+                                    .reshape(frame_shape)):
+                                return
+                            self._pushed += 1
+                except Exception as e:  # surfaced by join()
+                    self._err = e
+                finally:
+                    self.ring.close()
+
+            self._th = threading.Thread(target=_produce, daemon=True)
+            self._th.start()
+
+    def frames(self):
+        """Yield frames until the file (all loops) is drained."""
+        while (f := self.ring.pop()) is not None:
+            yield f
+
+    def join(self) -> int:
+        """Wait for the producer; return the number of frames pushed."""
+        if self._joined is None:
+            if self._job is not None:
+                n = self.ring._lib.fmcwio_stream_join(self._job)
+                self._job = None
+                if n == -1:
+                    raise FileNotFoundError(self._path)
+                self._joined = int(n)
+            else:
+                self._th.join()
+                if self._err is not None:
+                    raise self._err
+                self._joined = self._pushed
+        return self._joined

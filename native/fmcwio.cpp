@@ -16,6 +16,8 @@
 #include <cstring>
 #include <condition_variable>
 #include <mutex>
+#include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -149,6 +151,74 @@ int fmcwio_ring_size(void* ring) {
   FrameRing* r = (FrameRing*)ring;
   std::lock_guard<std::mutex> lk(r->mu);
   return r->count;
+}
+
+// ---------------------------------------------------------------------------
+// Threaded file streamer: the framework's data loader.  A native producer
+// thread reads fixed-size int16 frames from a raw binary file and pushes
+// them into a FrameRing, entirely outside the Python GIL, so host-side IO
+// overlaps both frame preprocessing and device compute (the ADC front-end
+// analog of the reference's streaming s_axis ingest, radar_core.vhd:26-29).
+// ---------------------------------------------------------------------------
+
+static int ring_push_locked(FrameRing* r, const int16_t* frame) {
+  std::unique_lock<std::mutex> lk(r->mu);
+  r->cv_push.wait(lk, [&] { return r->count < r->capacity || r->closed; });
+  if (r->closed) return -1;
+  memcpy(&r->data[(size_t)r->head * r->frame_elems], frame,
+         r->frame_elems * sizeof(int16_t));
+  r->head = (r->head + 1) % r->capacity;
+  ++r->count;
+  r->cv_pop.notify_one();
+  return 0;
+}
+
+struct StreamJob {
+  std::thread th;
+  long pushed = 0;
+  int error = 0;  // 0 ok; 1 open failure; 2 ring closed early
+};
+
+// Start streaming `loops` passes over `path` (raw little-endian int16,
+// frame_elems values per frame; a trailing partial frame is ignored) into
+// the ring.  When all passes complete (or the ring is closed from the
+// consumer side) the ring is closed so the consumer's pop() drains and
+// returns end-of-stream.  Returns a job handle for fmcwio_stream_join.
+void* fmcwio_stream_file(void* ring, const char* path, int loops) {
+  FrameRing* r = (FrameRing*)ring;
+  StreamJob* job = new StreamJob();
+  std::string p(path);
+  job->th = std::thread([r, p, loops, job] {
+    std::vector<int16_t> frame(r->frame_elems);
+    for (int l = 0; l < loops && !job->error; ++l) {
+      FILE* f = fopen(p.c_str(), "rb");
+      if (!f) { job->error = 1; break; }
+      while (fread(frame.data(), sizeof(int16_t), r->frame_elems, f)
+             == (size_t)r->frame_elems) {
+        if (ring_push_locked(r, frame.data()) != 0) { job->error = 2; break; }
+        ++job->pushed;
+      }
+      fclose(f);
+    }
+    {
+      std::lock_guard<std::mutex> lk(r->mu);
+      r->closed = true;
+    }
+    r->cv_push.notify_all();
+    r->cv_pop.notify_all();
+  });
+  return job;
+}
+
+// Join the streamer thread.  Returns frames pushed; -1 if the file could
+// not be opened.  (A consumer-side ring close simply ends the stream and
+// reports the frames delivered up to that point.)
+long fmcwio_stream_join(void* handle) {
+  StreamJob* job = (StreamJob*)handle;
+  if (job->th.joinable()) job->th.join();
+  long out = job->error == 1 ? -1 : job->pushed;
+  delete job;
+  return out;
 }
 
 }  // extern "C"

@@ -93,3 +93,54 @@ def test_frame_ring_overflow_drop():
     assert ring.pop() is not None
     assert ring.try_push(f)
     ring.close()
+
+
+def test_file_frame_streamer(tmp_path):
+    # Native (or fallback) threaded data loader: binary int16 frames stream
+    # through the ring in order, across multiple passes over the file.
+    rng = np.random.default_rng(0)
+    shape = (8, 16, 2)
+    frames = rng.integers(-1000, 1000, (5,) + shape).astype(np.int16)
+    p = str(tmp_path / "frames.bin")
+    frames.tofile(p)
+    s = native.FileFrameStreamer(p, shape, capacity=2, loops=3)
+    got = list(s.frames())
+    assert s.join() == 15
+    assert len(got) == 15
+    for i, f in enumerate(got):
+        assert np.array_equal(f, frames[i % 5]), i
+
+
+def test_file_frame_streamer_partial_frame_ignored(tmp_path):
+    shape = (4, 4, 2)
+    data = np.arange(2 * 32 + 7, dtype=np.int16)  # 2 frames + ragged tail
+    p = str(tmp_path / "ragged.bin")
+    data.tofile(p)
+    s = native.FileFrameStreamer(p, shape)
+    got = list(s.frames())
+    assert s.join() == 2 and len(got) == 2
+    assert np.array_equal(got[1].ravel(), data[32:64])
+
+
+def test_file_frame_streamer_missing_file(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        s = native.FileFrameStreamer(str(tmp_path / "nope.bin"), (4, 4, 2))
+        s.join()
+
+
+def test_file_frame_streamer_feeds_pipeline(tmp_path):
+    # End-to-end: loader -> stream runtime -> quick pipeline.
+    import fmcw_tpu
+    from fmcw_tpu.golden import reference
+    from fmcw_tpu.models import pipeline as pl
+    from fmcw_tpu.runtime import stream as rs
+    p = fmcw_tpu.quick()
+    base = pl.complex_to_iq(reference.two_target_frame(p))
+    path = str(tmp_path / "iq.bin")
+    np.stack([base] * 3).tofile(path)
+    s = native.FileFrameStreamer(path, base.shape)
+    proc = pl.make_processor(p, mode="float32", include_maps=False)
+    outs = list(rs.stream(proc, s.frames()))
+    assert len(outs) == 3 and s.join() == 3
+    n0 = int(np.asarray(outs[0]["n_dets"]))
+    assert all(int(np.asarray(o["n_dets"])) == n0 for o in outs)
