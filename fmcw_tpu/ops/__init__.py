@@ -1,3 +1,3 @@
 """JAX/Pallas compute kernels for the radar chain."""
 
-from . import window, fft, notch, magnitude, cfar, detect  # noqa: F401
+from . import window, fft, notch, magnitude, cfar, detect, beamform  # noqa: F401

@@ -72,3 +72,60 @@ def test_cfar_3d_scale_override():
     cube = np.stack([_map(s) for s in range(3)])
     _, _, sc = C.cfar_3d(cube, 7, cfar=CF, integer=True, ref_angle=1)
     assert np.all(np.asarray(sc) == 7)
+
+
+# --- beamforming front-end for the angle dimension (ops/beamform.py) -------
+
+def test_beamform_matches_explicit_loop():
+    from fmcw_tpu.ops import beamform as BF
+    rng = np.random.default_rng(0)
+    E, B = 8, 16
+    re = rng.standard_normal((E, 12, 20)).astype(np.float32)
+    im = rng.standard_normal((E, 12, 20)).astype(np.float32)
+    br, bi = BF.beamform(re, im, B)
+    wr, wi = BF.steering_matrix(E, B)
+    # golden: explicit per-beam complex dot over elements (float64)
+    w = wr.astype(np.float64) + 1j * wi.astype(np.float64)
+    x = re.astype(np.float64) + 1j * im.astype(np.float64)
+    y = np.tensordot(w, x, axes=(1, 0))
+    np.testing.assert_allclose(np.asarray(br), y.real, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bi), y.imag, rtol=1e-5, atol=1e-4)
+
+
+def test_beamform_point_target_angle():
+    from fmcw_tpu.ops import beamform as BF
+    E, B = 16, 32
+    # Plane wave from steering sine u0: x_e = exp(+j*2*pi*0.5*e*u0) is
+    # matched by the beam whose weight conjugates that phase.
+    u_grid = np.linspace(-np.sin(np.deg2rad(60.0)),
+                         np.sin(np.deg2rad(60.0)), B)
+    b0 = 20
+    u0 = u_grid[b0]
+    e = np.arange(E)
+    x = np.exp(1j * 2 * np.pi * 0.5 * e * u0)
+    re = np.tile(x.real.astype(np.float32)[:, None, None], (1, 4, 4))
+    im = np.tile(x.imag.astype(np.float32)[:, None, None], (1, 4, 4))
+    cube = np.asarray(BF.beam_cube(re, im, B))
+    assert cube.shape == (B, 4, 4)
+    assert int(np.argmax(cube[:, 0, 0])) == b0
+    # matched beam gains the full array factor (~E) over the average
+    assert cube[b0, 0, 0] > 3.0 * float(np.median(cube[:, 0, 0]))
+
+
+def test_beamform_feeds_cfar_3d():
+    from fmcw_tpu.ops import beamform as BF
+    rng = np.random.default_rng(5)
+    E, B = 8, 8
+    re = (rng.standard_normal((E, 32, 16)) * 10).astype(np.float32)
+    im = (rng.standard_normal((E, 32, 16)) * 10).astype(np.float32)
+    # inject a coherent target at beam index 5's steering phase, cell (10, 8)
+    wr, wi = BF.steering_matrix(E, B)
+    w = (wr + 1j * wi)[5].conj()
+    re[:, 10, 8] += 500 * w.real.astype(np.float32)
+    im[:, 10, 8] += 500 * w.imag.astype(np.float32)
+    cube = BF.beam_cube(re, im, B)
+    det, _, _ = C.cfar_3d(cube, 0, cfar=CF, integer=False, ref_angle=1,
+                          method="xla")
+    d = np.asarray(det)
+    assert d[5, 10, 8] > 0
+    assert (d > 0).sum() <= 8  # target (+ possible beam sidelobes) only
