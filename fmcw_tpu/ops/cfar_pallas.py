@@ -249,7 +249,7 @@ def cfar_2d_pallas_detect(mag_map: jnp.ndarray,
                           scale_override: jnp.ndarray | int = 0,
                           cfar: CfarParams = CfarParams(),
                           integer: bool = False,
-                          prepadded_range: bool = False, tile_rows: int = 64,
+                          prepadded_range: bool = False, tile_rows: int = 128,
                           interpret: bool = False):
     """Fast path for consumers that only need the detection map (and scale):
     returns (det_map, scale) with det_map bit-exact vs ops.cfar.cfar_2d's.

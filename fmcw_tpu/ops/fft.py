@@ -65,13 +65,92 @@ def dft_apply(re: jnp.ndarray, im: jnp.ndarray, axis: int, window: bool = False,
     return xr_cr - xi_ci, xr_ci + xi_cr
 
 
+@functools.lru_cache(maxsize=16)
+def _ct_factors(n: int, dtype=np.float32):
+    """Constants for the two-stage Cooley-Tukey split n = n1*n2 with n1 as
+    large as the MXU likes (<=128): (n1, n2, DFT_n1 matrices, DFT_n2
+    matrices, twiddle (n1, n2) re/im)."""
+    n1 = 128
+    while n % n1:
+        n1 //= 2
+    n2 = n // n1
+    c1r, c1i = dft_matrices(n1, dtype=dtype)
+    c2r, c2i = dft_matrices(n2, dtype=dtype)
+    k1 = np.arange(n1)[:, None].astype(np.float64)
+    m2 = np.arange(n2)[None, :].astype(np.float64)
+    ang = -2.0 * np.pi * k1 * m2 / n
+    return (n1, n2, c1r, c1i, c2r, c2i,
+            np.cos(ang).astype(dtype), np.sin(ang).astype(dtype))
+
+
+def ct_apply(re: jnp.ndarray, im: jnp.ndarray, axis: int, window: bool = False,
+             precision=jax.lax.Precision.HIGHEST):
+    """Forward FFT along ``axis`` via the four-step Cooley-Tukey
+    factorization n = n1*n2 (n1 <= 128): a full-width DFT_n1 matmul (the MXU
+    does all the heavy lifting at 128-deep contraction), a twiddle
+    elementwise multiply, a cheap DFT_n2 matmul, and an output reorder.  For
+    n = 1024 this is ~4x less MXU work than the dense DFT matmul
+    (2*n*sqrt-ish vs n^2 MACs per transform) at the same f32 precision.
+
+    Falls back to the dense matmul when n <= 128 (already one full-depth
+    GEMM there).
+    """
+    n = re.shape[axis]
+    n1, n2, c1r, c1i, c2r, c2i, twr, twi = _ct_factors(n)
+    if n2 == 1:
+        return dft_apply(re, im, axis, window=window, precision=precision)
+    if window:
+        from .window import hamming_float
+        w = jnp.asarray(hamming_float(n))
+        shape = [1] * re.ndim
+        shape[axis] = n
+        w = w.reshape(shape)
+        re, im = re * w, im * w
+
+    # Move the transform axis last; view x[n] as x[n1, n2] (n = n1*n2 + n2
+    # ordering: n1 strides n2).
+    re = jnp.moveaxis(re, axis, -1)
+    im = jnp.moveaxis(im, axis, -1)
+    batch = re.shape[:-1]
+    re = re.reshape(batch + (n1, n2))
+    im = im.reshape(batch + (n1, n2))
+
+    def cmatmul(xr, xi, cr, ci, dim):
+        dn = (((dim % xr.ndim,), (0,)), ((), ()))
+
+        def mm(x, c):
+            y = jax.lax.dot_general(x, jnp.asarray(c), dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision)
+            return jnp.moveaxis(y, -1, dim % xr.ndim)
+
+        ar, bi_, cr_, di = mm(xr, cr), mm(xr, ci), mm(xi, cr), mm(xi, ci)
+        return ar - di, bi_ + cr_
+
+    # Step 1: DFT_n1 over the n1 axis (contraction depth n1 = full MXU).
+    ar, ai = cmatmul(re, im, c1r, c1i, -2)
+    # Step 2: twiddle W_n^(k1*m2).
+    twr_, twi_ = jnp.asarray(twr), jnp.asarray(twi)
+    br = ar * twr_ - ai * twi_
+    bi = ar * twi_ + ai * twr_
+    # Step 3: DFT_n2 over the n2 axis.
+    xr, xi = cmatmul(br, bi, c2r, c2i, -1)
+    # Step 4: X[k2*n1 + k1] = result[k1, k2] -> transpose + flatten.
+    xr = jnp.swapaxes(xr, -1, -2).reshape(batch + (n,))
+    xi = jnp.swapaxes(xi, -1, -2).reshape(batch + (n,))
+    return jnp.moveaxis(xr, -1, axis), jnp.moveaxis(xi, -1, axis)
+
+
 def fft_apply(re: jnp.ndarray, im: jnp.ndarray, axis: int, window: bool = False,
               method: str = "matmul", precision=jax.lax.Precision.HIGHEST):
-    """Forward FFT along ``axis``; method "matmul" (MXU DFT) or "xla"
+    """Forward FFT along ``axis``; method "matmul" (dense MXU DFT), "ct"
+    (two-stage Cooley-Tukey matmul — less MXU work for n > 128), or "xla"
     (jnp.fft.fft lowering).  The window, when requested, is folded into the
-    matmul or applied as an elementwise multiply before the XLA FFT."""
+    matmul / applied as an elementwise multiply first."""
     if method == "matmul":
         return dft_apply(re, im, axis, window=window, precision=precision)
+    if method == "ct":
+        return ct_apply(re, im, axis, window=window, precision=precision)
     if method == "xla":
         if window:
             from .window import hamming_float
