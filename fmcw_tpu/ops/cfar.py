@@ -125,7 +125,8 @@ def cfar_2d_auto(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
         if not need_debug:
             det, scale = cfar_2d_pallas_detect(
                 mag_map, scale_override, cfar=cfar, integer=integer,
-                prepadded_range=prepadded_range, interpret=interpret)
+                prepadded_range=prepadded_range, interpret=interpret,
+                int_bits=int_bits)
             return det, None, scale
         return cfar_2d_pallas(mag_map, scale_override, cfar=cfar,
                               integer=integer,

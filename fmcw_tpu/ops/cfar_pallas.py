@@ -131,7 +131,7 @@ def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
 
 def _kernel_detect(mag_ref, padded_ref, so_ref, det_ref, scale_ref,
                    rot_ref, refs_ref, *, cfar: CfarParams, integer: bool,
-                   tile_rows: int):
+                   tile_rows: int, exact_div: bool = True):
     """Detect-only variant: decides ``CUT > est*scale`` purely by counting,
     never materializing the order statistic.
 
@@ -205,17 +205,25 @@ def _kernel_detect(mag_ref, padded_ref, so_ref, det_ref, scale_ref,
 
     # Pass C: the threshold decision itself.
     cnt_det = zero
-    if integer:
+    if integer and exact_div:
         # refs*scale >= cut  <=>  refs >= ceil(cut/scale): one per-cell
         # division replaces n_ref per-ref multiplies.  The f32 quotient is
-        # exact at these widths (cut <= 2^int_bits < 2^24; a non-integer
-        # rational p/scale is >= 1/scale away from an integer, far beyond
-        # f32 ulp), so floor((cut-1)/scale) + 1 is the exact ceiling.
+        # exact only while cut-1 is f32-representable (cut < 2^24 + 1; a
+        # non-integer rational p/scale is >= 1/scale away from an integer,
+        # far beyond f32 ulp at that width), so floor((cut-1)/scale) + 1 is
+        # the exact ceiling.  The wrapper gates this on int_bits <= 24 and
+        # falls back to the per-ref multiply loop otherwise.
         cut = mag_ref[...]
         q = jnp.floor((cut - 1).astype(jnp.float32)
                       / scale.astype(jnp.float32)).astype(jnp.int32) + 1
         for idx in range(cfar.n_ref):
             cnt_det = cnt_det + (refs_ref[idx] >= q).astype(jnp.int32)
+        det = (cnt_det < k) & (cut > 0)
+        det_ref[...] = jnp.where(det, cut, jnp.zeros_like(cut))
+    elif integer:
+        cut = mag_ref[...]
+        for idx in range(cfar.n_ref):
+            cnt_det = cnt_det + (refs_ref[idx] * scale >= cut).astype(jnp.int32)
         det = (cnt_det < k) & (cut > 0)
         det_ref[...] = jnp.where(det, cut, jnp.zeros_like(cut))
     else:
@@ -241,19 +249,11 @@ def _kernel_detect(mag_ref, padded_ref, so_ref, det_ref, scale_ref,
     scale_ref[...] = scale.astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfar", "integer", "prepadded_range", "tile_rows",
-                     "interpret"))
-def cfar_2d_pallas_detect(mag_map: jnp.ndarray,
-                          scale_override: jnp.ndarray | int = 0,
-                          cfar: CfarParams = CfarParams(),
-                          integer: bool = False,
-                          prepadded_range: bool = False, tile_rows: int = 128,
-                          interpret: bool = False):
-    """Fast path for consumers that only need the detection map (and scale):
-    returns (det_map, scale) with det_map bit-exact vs ops.cfar.cfar_2d's.
-    See _kernel_detect for why this needs no rank selection."""
+def _prepare(mag_map, scale_override, cfar: CfarParams, integer: bool,
+             prepadded_range: bool, tile_rows: int):
+    """Shared wrapper prep for both kernels: variant/dtype validation, the
+    int32 (or bitcast-f32) view, halo padding, and the tile-rows fallback.
+    Returns (core, padded, so, R, D, tile_rows)."""
     if cfar.variant != "os":
         raise ValueError("pallas kernel implements the os variant; use "
                          "ops.cfar.cfar_2d for ca/go/so")
@@ -279,30 +279,58 @@ def cfar_2d_pallas_detect(mag_map: jnp.ndarray,
     D = m.shape[1]
     if R % tile_rows:
         tile_rows = int(np.gcd(R, tile_rows))
-    n_tiles = R // tile_rows
-
     so = jnp.asarray(scale_override, jnp.int32).reshape(1)
+    return core, padded, so, R, D, tile_rows
+
+
+def _specs(R, D, hr, hd, tile_rows, n_out):
+    """BlockSpecs shared by both kernels: per-tile map block, the whole
+    padded map resident for every grid step, SMEM scale_override; n_out
+    per-tile output blocks."""
+    block = pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [
+        block,
+        pl.BlockSpec((R + 2 * hr, D + 2 * hd), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_specs = [block] * n_out
+    out_shape = [jax.ShapeDtypeStruct((R, D), jnp.int32)] * n_out
+    return in_specs, out_specs, out_shape
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfar", "integer", "prepadded_range", "tile_rows",
+                     "interpret", "int_bits"))
+def cfar_2d_pallas_detect(mag_map: jnp.ndarray,
+                          scale_override: jnp.ndarray | int = 0,
+                          cfar: CfarParams = CfarParams(),
+                          integer: bool = False,
+                          prepadded_range: bool = False, tile_rows: int = 128,
+                          interpret: bool = False, int_bits: int = 17):
+    """Fast path for consumers that only need the detection map (and scale):
+    returns (det_map, scale) with det_map bit-exact vs ops.cfar.cfar_2d's.
+    See _kernel_detect for why this needs no rank selection.
+
+    ``int_bits`` (integer mode): upper bound on the map's value width.  Up
+    to 24 bits the threshold decision uses an exact one-division-per-cell
+    ceiling; wider maps fall back to a per-reference multiply (still exact,
+    ~n_ref extra multiplies per cell)."""
+    m = mag_map
+    hr, hd = cfar.halo_range, cfar.halo_doppler
+    core, padded, so, R, D, tile_rows = _prepare(
+        m, scale_override, cfar, integer, prepadded_range, tile_rows)
+    n_tiles = R // tile_rows
     det32, scale_out = pl.pallas_call(
         functools.partial(_kernel_detect, cfar=cfar, integer=integer,
-                          tile_rows=tile_rows),
+                          tile_rows=tile_rows,
+                          exact_div=int_bits <= 24),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R + 2 * hr, D + 2 * hd), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, D), jnp.int32),
-            jax.ShapeDtypeStruct((R, D), jnp.int32),
-        ],
+        in_specs=(sp := _specs(R, D, hr, hd, tile_rows, 2))[0],
+        out_specs=sp[1],
+        out_shape=sp[2],
         scratch_shapes=[
             pltpu.VMEM((cfar.win_doppler, tile_rows + 2 * hr, D), jnp.int32),
             pltpu.VMEM((cfar.n_ref, tile_rows, D), jnp.int32),
@@ -338,66 +366,25 @@ def cfar_2d_pallas(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     precision, i.e. under the true order statistic by <0.8% — halving the
     kernel's dominant bit-loop cost.  Against threshold scale factors of
     2/4/6 this is far below the detector's operating margin."""
-    if cfar.variant != "os":
-        raise ValueError("pallas kernel implements the os variant; use "
-                         "ops.cfar.cfar_2d for ca/go/so")
-    hr, hd = cfar.halo_range, cfar.halo_doppler
+    # int_bits must cover the map's value range (silently wrong ranks
+    # otherwise); default 17 = the magnitude op's output width.  The
+    # pipelines pass 16: alpha-max-beta-min of int16 is <= 45056 < 2^16.
+    # Float mode ranks the IEEE-754 bit patterns (monotonic for
+    # non-negative f32): bits = key bits scanned.
+    bits = int_bits if integer else (31 if rank_bits is None else int(rank_bits))
     m = mag_map
-    integer_in = jnp.issubdtype(m.dtype, jnp.integer)
-    if integer != integer_in:
-        raise ValueError(f"integer={integer} but map dtype {m.dtype}")
-
-    if integer:
-        m32 = m.astype(jnp.int32)
-        # int_bits must cover the map's value range (silently wrong ranks
-        # otherwise); default 17 = the magnitude op's output width.  The
-        # pipelines pass 16: alpha-max-beta-min of int16 is <= 45056 < 2^16.
-        bits = int_bits
-    else:
-        # Non-negative f32 sorts like its bit pattern: rank in int domain.
-        m32 = jax.lax.bitcast_convert_type(m.astype(jnp.float32), jnp.int32)
-        bits = 31 if rank_bits is None else int(rank_bits)
-
-    if prepadded_range:
-        R = m.shape[0] - 2 * hr
-        padded = jnp.pad(m32, ((0, 0), (hd, hd)), mode=cfar.edge_mode)
-        core = m32[hr:-hr]
-    else:
-        R = m.shape[0]
-        padded = jnp.pad(m32, ((hr, hr), (hd, hd)), mode=cfar.edge_mode)
-        core = m32
-    D = m.shape[1]
-    if R % tile_rows:
-        tile_rows = int(np.gcd(R, tile_rows))
+    hr, hd = cfar.halo_range, cfar.halo_doppler
+    core, padded, so, R, D, tile_rows = _prepare(
+        m, scale_override, cfar, integer, prepadded_range, tile_rows)
     n_tiles = R // tile_rows
 
-    so = jnp.asarray(scale_override, jnp.int32).reshape(1)
-
-    out_dtype = jnp.int32
     det32, thr32, scale_out = pl.pallas_call(
         functools.partial(_kernel, cfar=cfar, integer=integer, bits=bits,
                           tile_rows=tile_rows),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R + 2 * hr, D + 2 * hd), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, D), out_dtype),
-            jax.ShapeDtypeStruct((R, D), out_dtype),
-            jax.ShapeDtypeStruct((R, D), jnp.int32),
-        ],
+        in_specs=(sp := _specs(R, D, hr, hd, tile_rows, 3))[0],
+        out_specs=sp[1],
+        out_shape=sp[2],
         scratch_shapes=[
             pltpu.VMEM((cfar.win_doppler, tile_rows + 2 * hr, D), jnp.int32),
             pltpu.VMEM((cfar.n_ref, tile_rows, D), jnp.int32),

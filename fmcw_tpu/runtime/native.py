@@ -128,21 +128,32 @@ class FrameRing:
         else:
             import queue
             self._q = queue.Queue(maxsize=capacity)
+            self._closed = threading.Event()
 
     def _ptr(self, arr):
         return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
 
     def push(self, frame: np.ndarray) -> bool:
+        """Blocking push; False once the ring is closed (native semantics,
+        mirrored by the fallback via a poll so close() always cancels)."""
+        import queue
         f = np.ascontiguousarray(frame, dtype=np.int16)
         if self._lib is not None:
             return self._lib.fmcwio_ring_push(self._ring, self._ptr(f)) == 0
-        self._q.put(f.copy())
-        return True
+        while not self._closed.is_set():
+            try:
+                self._q.put(f.copy(), timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def try_push(self, frame: np.ndarray) -> bool:
         f = np.ascontiguousarray(frame, dtype=np.int16)
         if self._lib is not None:
             return self._lib.fmcwio_ring_try_push(self._ring, self._ptr(f)) == 1
+        if self._closed.is_set():
+            return False
         try:
             self._q.put_nowait(f.copy())
             return True
@@ -150,20 +161,25 @@ class FrameRing:
             return False
 
     def pop(self) -> np.ndarray | None:
+        import queue
         if self._lib is not None:
             out = np.empty(self.frame_shape, dtype=np.int16)
             rc = self._lib.fmcwio_ring_pop(self._ring, self._ptr(out))
             return out if rc == 0 else None
-        try:
-            return self._q.get(timeout=60.0)
-        except Exception:
-            return None
+        while True:
+            try:
+                item = self._q.get(timeout=0.05)
+            except queue.Empty:
+                if self._closed.is_set():
+                    return None
+                continue
+            return item
 
     def close(self):
         if self._lib is not None:
             self._lib.fmcwio_ring_close(self._ring)
         else:
-            self._q.put(None)
+            self._closed.set()
 
     def __del__(self):
         try:
@@ -242,3 +258,19 @@ class FileFrameStreamer:
                     raise self._err
                 self._joined = self._pushed
         return self._joined
+
+    def close(self) -> None:
+        """Cancel the stream: close the ring (unblocks the producer) and
+        join the producer thread.  Idempotent; called by __del__ so the
+        native thread can never outlive the ring it writes into."""
+        self.ring.close()
+        try:
+            self.join()
+        except FileNotFoundError:
+            pass
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -161,18 +161,6 @@ int fmcwio_ring_size(void* ring) {
 // analog of the reference's streaming s_axis ingest, radar_core.vhd:26-29).
 // ---------------------------------------------------------------------------
 
-static int ring_push_locked(FrameRing* r, const int16_t* frame) {
-  std::unique_lock<std::mutex> lk(r->mu);
-  r->cv_push.wait(lk, [&] { return r->count < r->capacity || r->closed; });
-  if (r->closed) return -1;
-  memcpy(&r->data[(size_t)r->head * r->frame_elems], frame,
-         r->frame_elems * sizeof(int16_t));
-  r->head = (r->head + 1) % r->capacity;
-  ++r->count;
-  r->cv_pop.notify_one();
-  return 0;
-}
-
 struct StreamJob {
   std::thread th;
   long pushed = 0;
@@ -195,7 +183,7 @@ void* fmcwio_stream_file(void* ring, const char* path, int loops) {
       if (!f) { job->error = 1; break; }
       while (fread(frame.data(), sizeof(int16_t), r->frame_elems, f)
              == (size_t)r->frame_elems) {
-        if (ring_push_locked(r, frame.data()) != 0) { job->error = 2; break; }
+        if (fmcwio_ring_push(r, frame.data()) != 0) { job->error = 2; break; }
         ++job->pushed;
       }
       fclose(f);

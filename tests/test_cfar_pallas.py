@@ -132,6 +132,21 @@ def test_detect_float_boundary_map():
     assert np.array_equal(np.asarray(s1).astype(np.float32), np.asarray(s2))
 
 
+def test_detect_integer_wide_values_exact():
+    # Maps wider than 24 bits must take the multiply fallback (the one-
+    # division ceiling is only exact below 2^24): regression for the
+    # constructible cut=16777224/scale=6/ref=2796204 counterexample.
+    rng = np.random.default_rng(31)
+    m = rng.integers(0, 1 << 27, (128, 128)).astype(np.int32)
+    m[10, 10] = 16777224
+    m[64:70, 64:70] = 2796204 * 6 + 1
+    d1, _, s1 = C.cfar_2d(m, 0, cfar=QUICK, integer=True)
+    d2, s2 = cfar_2d_pallas_detect(m, 0, cfar=QUICK, integer=True,
+                                   interpret=True, int_bits=27)
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
 def test_detect_prepadded_matches():
     m = _int_map((128, 64), seed=13)
     hr = QUICK.halo_range

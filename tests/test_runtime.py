@@ -144,3 +144,43 @@ def test_file_frame_streamer_feeds_pipeline(tmp_path):
     assert len(outs) == 3 and s.join() == 3
     n0 = int(np.asarray(outs[0]["n_dets"]))
     assert all(int(np.asarray(o["n_dets"])) == n0 for o in outs)
+
+
+def test_fallback_ring_close_cancels(monkeypatch):
+    # Pure-Python ring must honor native semantics: close() cancels a
+    # blocked producer (push -> False) and pop() drains then returns None.
+    monkeypatch.setattr(native, "_load", lambda: None)
+    ring = native.FrameRing((4,), capacity=1)
+    assert ring.push(np.zeros(4, np.int16))
+    ring.close()
+    assert ring.push(np.ones(4, np.int16)) is False
+    assert ring.pop() is not None
+    assert ring.pop() is None
+    assert ring.try_push(np.ones(4, np.int16)) is False
+
+
+def test_fallback_streamer_and_early_cancel(tmp_path, monkeypatch):
+    monkeypatch.setattr(native, "_load", lambda: None)
+    shape = (2, 2, 2)
+    frames = np.arange(3 * 8, dtype=np.int16).reshape((3,) + shape)
+    p = str(tmp_path / "f.bin")
+    frames.tofile(p)
+    s = native.FileFrameStreamer(p, shape, capacity=2, loops=2)
+    got = list(s.frames())
+    assert s.join() == 6 and len(got) == 6
+    assert np.array_equal(got[4], frames[1])
+    # Early consumer-side cancel must unblock the producer and not hang.
+    s2 = native.FileFrameStreamer(p, shape, capacity=1, loops=1000)
+    assert next(iter(s2.frames())) is not None
+    s2.close()
+
+
+def test_native_streamer_early_cancel(tmp_path):
+    # Same cancel path through the C++ producer thread.
+    shape = (2, 2, 2)
+    frames = np.arange(2 * 8, dtype=np.int16).reshape((2,) + shape)
+    p = str(tmp_path / "g.bin")
+    frames.tofile(p)
+    s = native.FileFrameStreamer(p, shape, capacity=1, loops=100000)
+    assert next(iter(s.frames())) is not None
+    s.close()  # joins the C++ thread; must return promptly

@@ -14,10 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, sync, iters):
-    fn()
-    sync()
-    fn()
-    sync()
+    sync(fn())   # compile + warm, fully drained before the clock starts
+    sync(fn())
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
@@ -52,10 +50,11 @@ def main():
     iq = jax.device_put(batch)
     prec = jax.lax.Precision.HIGH
 
-    def sync(x=None):
-        if x is None:
-            return
-        np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+    def sync(x):
+        # Small readback as the completion barrier (CLAUDE.md): slice on
+        # device, transfer one element — never the full output.
+        leaf = jax.tree.leaves(x)[0]
+        np.asarray(leaf.ravel()[:1])
 
     @jax.jit
     def ffts_only(iq):
