@@ -36,6 +36,11 @@ def main():
                          "(tb_tactical.vhd:252-266) instead of point targets")
     ap.add_argument("--logs", default=None,
                     help="skip processing; render existing logs in DIR")
+    ap.add_argument("--iq-file", default=None, metavar="BIN",
+                    help="process recorded frames (raw int16 I/Q, one "
+                         "(n_doppler, n_range, 2) frame after another) "
+                         "through the native streaming loader instead of "
+                         "the synthetic scenario")
     args = ap.parse_args()
 
     import numpy as np
@@ -89,12 +94,24 @@ def main():
         proc = pl.make_processor(p, mode=args.mode, peak_group_radius=2)
         print(f"single chip: {jax.devices()[0]}")
 
-    scen = sc.TacticalScenario(p, cfg)
+    if args.iq_file:
+        from fmcw_tpu.runtime.native import FileFrameStreamer
+        streamer = FileFrameStreamer(args.iq_file,
+                                     (p.n_doppler, p.n_range, 2))
+        frames_iter = ((scan, iq, ())
+                       for scan, iq in enumerate(streamer.frames(), 1))
+        cfg.num_scans = 0  # unknown until the file drains
+    else:
+        scen = sc.TacticalScenario(p, cfg)
+        frames_iter = ((scan, pl.complex_to_iq(frame), truth)
+                       for scan, frame, truth in scen.run())
     state = jt.init_state(p.tracker)
     t0 = time.time()
     last_map = None
-    for scan, frame, truth in scen.run():
-        out = proc(pl.complex_to_iq(frame))
+    n_scans = 0
+    for scan, iq, truth in frames_iter:
+        n_scans = scan
+        out = proc(iq)
         out = jax.tree.map(np.asarray, out)
         if "mag_map" in out:
             last_map = out["mag_map"]
@@ -116,8 +133,8 @@ def main():
               f"tracks={int(rep['active_tracks']):2d} "
               f"truth={len(truth)}")
     dt = time.time() - t0
-    print(f"{cfg.num_scans} scans in {dt:.1f}s "
-          f"({cfg.num_scans / dt:.1f} scans/s)")
+    print(f"{n_scans} scans in {dt:.1f}s ({n_scans / max(dt, 1e-9):.1f} "
+          f"scans/s)")
 
     if "mag_map" not in out:
         last_map = None
