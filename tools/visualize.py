@@ -41,6 +41,9 @@ def main():
                          "(n_doppler, n_range, 2) frame after another) "
                          "through the native streaming loader instead of "
                          "the synthetic scenario")
+    ap.add_argument("--record", default=None, metavar="BIN",
+                    help="also append every processed frame's raw int16 I/Q "
+                         "to BIN (replayable later with --iq-file)")
     args = ap.parse_args()
 
     import numpy as np
@@ -109,8 +112,11 @@ def main():
     t0 = time.time()
     last_map = None
     n_scans = 0
+    rec = open(args.record, "wb") if args.record else None
     for scan, iq, truth in frames_iter:
         n_scans = scan
+        if rec is not None:
+            np.ascontiguousarray(iq, dtype=np.int16).tofile(rec)
         out = proc(iq)
         out = jax.tree.map(np.asarray, out)
         if "mag_map" in out:
@@ -132,6 +138,9 @@ def main():
         print(f"scan {scan:3d}: dets={int(np.sum(v)):3d} "
               f"tracks={int(rep['active_tracks']):2d} "
               f"truth={len(truth)}")
+    if rec is not None:
+        rec.close()
+        print(f"recorded {n_scans} frames to {args.record}")
     dt = time.time() - t0
     print(f"{n_scans} scans in {dt:.1f}s ({n_scans / max(dt, 1e-9):.1f} "
           f"scans/s)")
