@@ -79,28 +79,37 @@ def main():
     batch = batch + rng.integers(-8, 8, batch.shape).astype(np.int16)
     batch_dev = jax.device_put(batch)
 
+    import dataclasses
+    p_block = p.replace(cfar=dataclasses.replace(p.cfar, scale_mode="block"))
+
     results = {}
     configs = [
-        ("pallas-cfar/matmul-HIGH", dict(fft_method="matmul",
-                                         precision=jax.lax.Precision.HIGH,
-                                         cfar_method="auto")),
+        ("pallas-cfar/matmul-HIGH", p, dict(fft_method="matmul",
+                                            precision=jax.lax.Precision.HIGH,
+                                            cfar_method="auto")),
+        # Clutter-map (block-granular) adaptive scale: the detection kernel
+        # runs only the counting pass; parity-gated against the per-cell
+        # config's detections at runtime below.
+        ("pallas-cfar-blockscale/matmul-HIGH", p_block,
+         dict(fft_method="matmul", precision=jax.lax.Precision.HIGH,
+              cfar_method="auto")),
     ]
     if "--sweep" in sys.argv:
         configs += [
-            ("xla-cfar/matmul-HIGH", dict(fft_method="matmul",
-                                          precision=jax.lax.Precision.HIGH,
-                                          cfar_method="xla")),
-            ("pallas-cfar/matmul-HIGHEST", dict(
+            ("xla-cfar/matmul-HIGH", p, dict(fft_method="matmul",
+                                             precision=jax.lax.Precision.HIGH,
+                                             cfar_method="xla")),
+            ("pallas-cfar/matmul-HIGHEST", p, dict(
                 fft_method="matmul", precision=jax.lax.Precision.HIGHEST,
                 cfar_method="auto")),
-            ("pallas-cfar/xla-fft", dict(fft_method="xla",
-                                         precision=jax.lax.Precision.HIGH,
-                                         cfar_method="auto")),
+            ("pallas-cfar/xla-fft", p, dict(fft_method="xla",
+                                            precision=jax.lax.Precision.HIGH,
+                                            cfar_method="auto")),
         ]
     ref_out = None
-    for name, kw in configs:
+    for name, p_cfg, kw in configs:
         try:
-            proc = pl.make_batch_processor(p, mode="float32",
+            proc = pl.make_batch_processor(p_cfg, mode="float32",
                                            include_maps=False, **kw)
             fps = bench_config(proc, batch_dev)
             out = jax.tree.map(np.asarray, proc(batch_dev))

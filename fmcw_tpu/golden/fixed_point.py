@@ -297,6 +297,72 @@ def cfar_scale(est: np.ndarray, mean: np.ndarray, cfar: CfarParams,
     return np.where(hi, cfar.scale_max, np.where(lo, cfar.scale_min, cfar.scale_nom))
 
 
+def block_scale_map(mag_map: np.ndarray, cfar: CfarParams,
+                    scale_override: int = 0) -> np.ndarray:
+    """Block-granular ("clutter-map") adaptive scale — framework extension,
+    no VHDL counterpart (see CfarParams.scale_mode).
+
+    Every cell of a ``scale_block x scale_block`` tile gets the same scale.
+    Per block: a clutter level from the 3x3-block neighborhood mean, then an
+    exceedance-density classification over the same neighborhood — the
+    per-cell rule of os_cfar_2d.vhd:187-199 lifted to block granularity:
+
+        mean  = truncating mean over the 3x3-block neighborhood (9*B*B cells,
+                guards not excluded, edges wrapped/clamped per ``edge_mode``)
+        cell exceeds-hi iff v > its own block's mean*1.5 (integer: m+(m>>1))
+        cell misses-lo  iff v < its own block's mean*0.5 (integer: m>>1)
+        hi: >= (1-rank_pct) of the neighborhood's cells exceed-hi -> scale_max
+        lo: <  (1-rank_pct) of the neighborhood's cells are >= lo -> scale_min
+        else scale_nom
+
+    With a block-constant threshold this is the counting form of "rank_pct
+    percentile vs mean"; cells compare against their *own* block's threshold
+    (not the classified block's) so each cell is tested exactly once — the
+    property that keeps the TPU implementation at a handful of map passes
+    (ops/cfar.block_scale_map).  Thresholds of adjacent blocks differ only
+    through their overlapping 3x3 neighborhoods, so the mixture stays a
+    local clutter classifier.
+    """
+    m = np.asarray(mag_map, dtype=np.int64)
+    B = cfar.scale_block
+    R, D = m.shape
+    if R % B or D % B:
+        raise ValueError(f"scale_block={B} must divide map shape {(R, D)}")
+    if scale_override != 0:
+        return np.full((R, D), int(scale_override))
+    Rb, Db = R // B, D // B
+    N = 9 * B * B
+    rank_idx = min((N * cfar.rank_pct) // 100, N - 1)
+    k = N - rank_idx
+
+    def shift(a, i, j):
+        """grid[b] <- grid[b + (i, j)] on the (Rb, Db) block grid."""
+        if cfar.edge_mode == "wrap":
+            return np.roll(a, (-i, -j), axis=(0, 1))
+        ri = np.clip(np.arange(Rb) + i, 0, Rb - 1)
+        rj = np.clip(np.arange(Db) + j, 0, Db - 1)
+        return a[ri][:, rj]
+
+    offs = [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)]
+
+    def nb9(a):
+        return sum(shift(a, i, j) for i, j in offs)
+
+    def block_reduce(x):
+        return x.reshape(Rb, B, Db, B).sum(axis=(1, 3))
+
+    mean = nb9(block_reduce(m)) // N                      # (Rb, Db)
+    t_hi = np.repeat(np.repeat(mean + (mean >> 1), B, 0), B, 1)
+    t_lo = np.repeat(np.repeat(mean >> 1, B, 0), B, 1)
+    cnt_hi = nb9(block_reduce(m > t_hi))
+    cnt_lo = nb9(block_reduce(m >= t_lo))
+    hi = cnt_hi >= k
+    lo = cnt_lo < k
+    scale_b = np.where(hi, cfar.scale_max,
+                       np.where(lo, cfar.scale_min, cfar.scale_nom))
+    return np.repeat(np.repeat(scale_b, B, 0), B, 1)
+
+
 def os_cfar_2d(mag_map: np.ndarray, cfar: CfarParams, scale_override: int = 0,
                return_debug: bool = False):
     """Full 2D CFAR over a (n_range, n_doppler) magnitude map.
@@ -308,7 +374,10 @@ def os_cfar_2d(mag_map: np.ndarray, cfar: CfarParams, scale_override: int = 0,
     """
     m = np.asarray(mag_map, dtype=np.int64)
     est, mean = cfar_threshold_stats(m, cfar)
-    scale = cfar_scale(est, mean, cfar, scale_override)
+    if cfar.scale_mode == "block":
+        scale = block_scale_map(m, cfar, scale_override)
+    else:
+        scale = cfar_scale(est, mean, cfar, scale_override)
     threshold = est * scale
     out = np.where(m > threshold, m, 0)
     if return_debug:

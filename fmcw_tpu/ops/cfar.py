@@ -92,6 +92,83 @@ def _ref_sums(m: jnp.ndarray, cfar: CfarParams, prepadded_range: bool = False):
     return sum_refs, lead, lag, n_half
 
 
+def block_scale_map(mag_map: jnp.ndarray, cfar: CfarParams,
+                    integer: bool) -> jnp.ndarray:
+    """Block-granular ("clutter-map") adaptive scale, int32 (R, D).
+
+    JAX mirror of golden.fixed_point.block_scale_map (see there and
+    CfarParams.scale_mode for the semantics); float mode uses true division
+    and 1.5x/0.5x factors like the per-cell float path.  Computed *outside*
+    the Pallas detection kernel, which then skips its per-cell mean + hi/lo
+    classification passes entirely.
+
+    TPU-shape discipline (every slower route measured on hardware first): a
+    (Rb, B, Db, B) formulation pads the size-B minor dims to full lanes
+    (~3.5x slower), and 0/1-matmul broadcasts put a fusion barrier + map
+    materialization at each use (~1.4x slower).  What ships:
+
+      * block grids live **transposed** (Db, Rb) so their minor dim is Rb
+        (full lanes at the default geometry), and lane-group reductions
+        become sublane-group reductions after one small transpose;
+      * reductions are native-tile reshape-reduces ((n, B, lanes) sum over
+        the middle sublane axis);
+      * the hi and lo indicators are **packed into one integer**
+        (ind_hi + ind_lo << 10) so one reduce chain serves both counts
+        (counts <= 576 < 1024, no carry between fields);
+      * block->cell broadcasts are jnp.repeat on sublanes (fuses into the
+        consuming compare).
+
+    All arithmetic is exact in both modes: integer throughout for
+    ``integer=True``, and for float every reduction is a straight f32 sum
+    (same association order as the golden model's axis reductions).
+    """
+    B = cfar.scale_block
+    R, D = mag_map.shape
+    if R % B or D % B:
+        raise ValueError(f"scale_block={B} must divide map shape {(R, D)}")
+    Rb, Db = R // B, D // B
+    N = 9 * B * B
+    rank_idx = min((N * cfar.rank_pct) // 100, N - 1)
+    k = N - rank_idx
+    m = mag_map.astype(jnp.int32) if integer else mag_map.astype(jnp.float32)
+
+    def shift(a, i, j):
+        """grid[b] <- grid[b + (i, j)]; a is any-orientation block grid —
+        only the symmetric 3x3 sum uses it, so axis order is irrelevant."""
+        if cfar.edge_mode == "wrap":
+            return jnp.roll(a, (-i, -j), axis=(0, 1))
+        ri = jnp.clip(jnp.arange(a.shape[0]) + i, 0, a.shape[0] - 1)
+        rj = jnp.clip(jnp.arange(a.shape[1]) + j, 0, a.shape[1] - 1)
+        return jnp.take(jnp.take(a, ri, axis=0), rj, axis=1)
+
+    def nb9(a):
+        return sum(shift(a, i, j) for i in (-1, 0, 1) for j in (-1, 0, 1))
+
+    def block_reduce_t(x):
+        """(R, D) -> transposed (Db, Rb) per-block sums."""
+        rows = x.reshape(Rb, B, D).sum(axis=1)        # (Rb, D)
+        return rows.T.reshape(Db, B, Rb).sum(axis=1)  # (Db, Rb)
+
+    def to_cells(tb_t):
+        """transposed (Db, Rb) block grid -> (R, D) cells."""
+        return jnp.repeat(jnp.repeat(tb_t, B, axis=0).T, B, axis=0)
+
+    if integer:
+        mean = to_cells(nb9(block_reduce_t(m)) // N)  # block-constant int32
+        ind = ((m > mean + (mean >> 1)).astype(jnp.int32)
+               + ((m >= (mean >> 1)).astype(jnp.int32) << 10))
+    else:
+        mean = to_cells(nb9(block_reduce_t(m)) / N)
+        ind = ((m > 1.5 * mean).astype(jnp.int32)
+               + ((m >= 0.5 * mean).astype(jnp.int32) << 10))
+    packed = nb9(block_reduce_t(ind))                 # (Db, Rb)
+    cnt_hi = packed & 1023
+    cnt_lo = packed >> 10
+    scale_b = jnp.where(cnt_hi >= k, cfar.scale_max,
+                        jnp.where(cnt_lo < k, cfar.scale_min, cfar.scale_nom))
+    return to_cells(scale_b).astype(jnp.int32)
+
+
 def _order_statistic(refs: jnp.ndarray, rank_idx: int) -> jnp.ndarray:
     """rank_idx-th ascending order statistic over the trailing axis via
     top_k of the (n_ref - rank_idx) largest (os_cfar_2d.vhd:172-183)."""
@@ -119,6 +196,8 @@ def cfar_2d_auto(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     if method == "auto":
         method = ("pallas" if cfar.variant == "os"
                   and jax.default_backend() == "tpu" else "xla")
+    if method == "pallas" and need_debug and cfar.scale_mode == "block":
+        method = "xla"  # threshold taps for block mode come from the XLA path
     if method == "pallas":
         from .cfar_pallas import cfar_2d_pallas, cfar_2d_pallas_detect
         interpret = jax.default_backend() != "tpu"
@@ -172,20 +251,27 @@ def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
             mg = lag // n_half if integer else lag / n_half
             est = jnp.maximum(ml, mg) if cfar.variant == "go" else jnp.minimum(ml, mg)
 
-    if integer:
-        mean = sum_refs // cfar.n_ref
-        hi = est > mean + (mean >> 1)
-        lo = est < (mean >> 1)
+    cut = m[cfar.halo_range:-cfar.halo_range] if prepadded_range else m
+    if cfar.scale_mode == "block":
+        if prepadded_range:
+            raise ValueError(
+                "scale_mode='block' is single-device only: the 3x3-block "
+                "neighborhood needs a scale_block-wide halo the sharded "
+                "pipeline does not exchange — use scale_mode='cell'")
+        scale = block_scale_map(cut, cfar, integer)
     else:
-        mean = sum_refs / cfar.n_ref
-        hi = est > 1.5 * mean
-        lo = est < 0.5 * mean
-
-    scale = jnp.where(hi, cfar.scale_max, jnp.where(lo, cfar.scale_min,
-                                                    cfar.scale_nom))
+        if integer:
+            mean = sum_refs // cfar.n_ref
+            hi = est > mean + (mean >> 1)
+            lo = est < (mean >> 1)
+        else:
+            mean = sum_refs / cfar.n_ref
+            hi = est > 1.5 * mean
+            lo = est < 0.5 * mean
+        scale = jnp.where(hi, cfar.scale_max, jnp.where(lo, cfar.scale_min,
+                                                        cfar.scale_nom))
     scale = jnp.where(so != 0, so, scale).astype(m.dtype)
     threshold = est * scale
-    cut = m[cfar.halo_range:-cfar.halo_range] if prepadded_range else m
     det = jnp.where(cut > threshold, cut, jnp.zeros_like(cut))
     return det, threshold, scale
 

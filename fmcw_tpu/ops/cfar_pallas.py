@@ -249,6 +249,68 @@ def _kernel_detect(mag_ref, padded_ref, so_ref, det_ref, scale_ref,
     scale_ref[...] = scale.astype(jnp.int32)
 
 
+def _kernel_detect_scaled(mag_ref, padded_ref, scale_in_ref, det_ref,
+                          scale_ref, rot_ref, *, cfar: CfarParams,
+                          integer: bool, tile_rows: int,
+                          exact_div: bool = True):
+    """Detect-only variant with the adaptive scale precomputed outside the
+    kernel (scale_mode="block", ops/cfar.block_scale_map — or any externally
+    supplied per-cell scale).  Only pass C of _kernel_detect remains: one
+    count(refs >= q) per cell, reading each training plane directly from the
+    rotated copies (each plane is consumed exactly once, so materializing an
+    aligned refs scratch would cost more than the single offset read).
+    ~3.5x fewer VPU slots per cell than _kernel_detect."""
+    i = pl.program_id(0)
+    hr, hd = cfar.halo_range, cfar.halo_doppler
+    D = mag_ref.shape[1]
+    row0 = i * tile_rows
+    k = cfar.n_ref - cfar.rank_idx
+    offsets = _window_offsets(cfar)
+
+    for j in range(cfar.win_doppler):
+        rot_ref[j] = padded_ref[pl.ds(row0, tile_rows + 2 * hr),
+                                pl.ds(j, D)].astype(jnp.int32)
+
+    def ref_view(dr, dd):
+        return rot_ref[dd + hd, pl.ds(hr + dr, tile_rows), :]
+
+    def fval(v):
+        return pltpu.bitcast(v, jnp.float32)
+
+    scale = scale_in_ref[...]
+    cnt_det = jnp.zeros((tile_rows, D), jnp.int32)
+    if integer and exact_div:
+        # Same exact-ceiling trick as _kernel_detect pass C.
+        cut = mag_ref[...]
+        q = jnp.floor((cut - 1).astype(jnp.float32)
+                      / scale.astype(jnp.float32)).astype(jnp.int32) + 1
+        for dr, dd in offsets:
+            cnt_det = cnt_det + (ref_view(dr, dd) >= q).astype(jnp.int32)
+        det = (cnt_det < k) & (cut > 0)
+        det_ref[...] = jnp.where(det, cut, jnp.zeros_like(cut))
+    elif integer:
+        cut = mag_ref[...]
+        for dr, dd in offsets:
+            cnt_det = cnt_det + (ref_view(dr, dd) * scale >= cut).astype(jnp.int32)
+        det = (cnt_det < k) & (cut > 0)
+        det_ref[...] = jnp.where(det, cut, jnp.zeros_like(cut))
+    else:
+        # q_min probing as in _kernel_detect's float pass C.
+        cut = fval(mag_ref[...])
+        scale_f = scale.astype(jnp.float32)
+        ti = pltpu.bitcast(cut / scale_f, jnp.int32)
+        q = pltpu.bitcast(ti + 1, jnp.float32)
+        for delta in (0, -1, -2):
+            c = pltpu.bitcast(ti + delta, jnp.float32)
+            q = jnp.where(c * scale_f >= cut, c, q)
+        for dr, dd in offsets:
+            cnt_det = cnt_det + (fval(ref_view(dr, dd)) >= q).astype(jnp.int32)
+        det = (cnt_det < k) & (cut > 0.0)
+        det_ref[...] = pltpu.bitcast(
+            jnp.where(det, cut, jnp.zeros_like(cut)), jnp.int32)
+    scale_ref[...] = scale
+
+
 def _prepare(mag_map, scale_override, cfar: CfarParams, integer: bool,
              prepadded_range: bool, tile_rows: int):
     """Shared wrapper prep for both kernels: variant/dtype validation, the
@@ -323,6 +385,41 @@ def cfar_2d_pallas_detect(mag_map: jnp.ndarray,
     core, padded, so, R, D, tile_rows = _prepare(
         m, scale_override, cfar, integer, prepadded_range, tile_rows)
     n_tiles = R // tile_rows
+    if cfar.scale_mode == "block":
+        if prepadded_range:
+            raise ValueError(
+                "scale_mode='block' is single-device only (see ops.cfar); "
+                "use scale_mode='cell' in sharded pipelines")
+        # The clutter-map scale is ~40 fused XLA ops/cell computed on the
+        # real-valued map; the kernel then runs only the detection-count pass.
+        from .cfar import block_scale_map
+        scale_map = block_scale_map(m, cfar, integer)
+        scale_map = jnp.where(so[0] != 0, so[0], scale_map)
+        block = pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        det32, scale_out = pl.pallas_call(
+            functools.partial(_kernel_detect_scaled, cfar=cfar,
+                              integer=integer, tile_rows=tile_rows,
+                              exact_div=int_bits <= 24),
+            grid=(n_tiles,),
+            in_specs=[
+                block,
+                pl.BlockSpec((R + 2 * hr, D + 2 * hd), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                block,
+            ],
+            out_specs=[block] * 2,
+            out_shape=[jax.ShapeDtypeStruct((R, D), jnp.int32)] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((cfar.win_doppler, tile_rows + 2 * hr, D),
+                           jnp.int32),
+            ],
+            interpret=interpret,
+        )(core, padded, scale_map)
+        if integer:
+            return det32.astype(m.dtype), scale_out
+        return (jax.lax.bitcast_convert_type(det32, jnp.float32),
+                scale_out.astype(jnp.float32))
     det32, scale_out = pl.pallas_call(
         functools.partial(_kernel_detect, cfar=cfar, integer=integer,
                           tile_rows=tile_rows,
@@ -371,6 +468,12 @@ def cfar_2d_pallas(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     # pipelines pass 16: alpha-max-beta-min of int16 is <= 45056 < 2^16.
     # Float mode ranks the IEEE-754 bit patterns (monotonic for
     # non-negative f32): bits = key bits scanned.
+    if cfar.scale_mode != "cell":
+        raise ValueError(
+            "the rank/threshold pallas kernel implements per-cell scale "
+            "only; scale_mode='block' debug taps come from ops.cfar.cfar_2d "
+            "(cfar_2d_auto routes there), the fast path from "
+            "cfar_2d_pallas_detect")
     bits = int_bits if integer else (31 if rank_bits is None else int(rank_bits))
     m = mag_map
     hr, hd = cfar.halo_range, cfar.halo_doppler

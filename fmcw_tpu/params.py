@@ -43,6 +43,17 @@ class CfarParams:
     # (matches the roll/ppermute formulation and the reference's line-buffer
     # wrap-around); "reflect" mirrors at the edges.
     edge_mode: Literal["wrap", "reflect"] = "wrap"
+    # Adaptive-scale granularity (framework extension, no VHDL counterpart).
+    # "cell" (default): the reference's per-cell rule — classify each CUT's
+    # own training set (est vs mean, os_cfar_2d.vhd:187-199).  "block":
+    # clutter-map style — classify per scale_block x scale_block tile from
+    # the rank_pct percentile vs mean of its 3x3-block neighborhood (guards
+    # not excluded).  The OS threshold decision itself stays exact per cell;
+    # only the {scale_min, scale_nom, scale_max} selection coarsens.  This is
+    # the fast-path knob: it removes the per-cell mean + hi/lo counting from
+    # the detection kernel (docs/design_notes.md).
+    scale_mode: Literal["cell", "block"] = "cell"
+    scale_block: int = 8        # block edge, must divide n_range and n_doppler
 
     @property
     def win_range(self) -> int:
