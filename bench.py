@@ -87,11 +87,12 @@ def main():
         ("pallas-cfar/matmul-HIGH", p, dict(fft_method="matmul",
                                             precision=jax.lax.Precision.HIGH,
                                             cfar_method="auto")),
-        # Clutter-map (block-granular) adaptive scale: the detection kernel
-        # runs only the counting pass; parity-gated against the per-cell
-        # config's detections at runtime below.
-        ("pallas-cfar-blockscale/matmul-HIGH", p_block,
-         dict(fft_method="matmul", precision=jax.lax.Precision.HIGH,
+        # Clutter-map (block-granular) adaptive scale + two-stage Cooley-
+        # Tukey FFT: the detection kernel runs only the counting pass;
+        # parity-gated against the per-cell config's detections at runtime
+        # below.
+        ("pallas-cfar-blockscale/ct-HIGH", p_block,
+         dict(fft_method="ct", precision=jax.lax.Precision.HIGH,
               cfar_method="auto")),
     ]
     if "--sweep" in sys.argv:

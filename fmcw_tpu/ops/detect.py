@@ -22,19 +22,28 @@ def topk_detections(det_map: jnp.ndarray, max_dets: int = 64):
     valid (bool) — all length ``max_dets`` — and n_dets (total nonzero count,
     may exceed max_dets; the overflow analog of the 64-det buffer cap).
 
-    Large maps use an exact two-stage reduction: per-row top-k over the
-    Doppler axis, then top-k over the R*k survivors — every global top-k
-    cell is inside its row's top-k, and lax.top_k's stable tie-breaking
-    (lower index first) composes to the same (row, col)-lexicographic order
-    as the single flat top_k, so results are identical."""
+    Large maps use an exact row-select reduction: per-row max (a cheap lane
+    reduce), top-k over the R row maxes to pick ``max_dets`` candidate rows,
+    then a flat top-k over just those rows' cells.  This is ~8x less top_k
+    work than a per-row top-k + flat pass and provably identical to the
+    single flat top_k *including ties*: every row holding a global top-k
+    cell has row-max >= the k-th value; rows tied exactly at the k-th value
+    are taken lowest-index-first by lax.top_k, and the rows containing the
+    flat top_k's consumed tie cells are precisely a prefix of those
+    ascending tie rows (each row with max above the k-th value holds at
+    least one consumed cell, so the tie-row slots never run out).
+    Re-sorting the selected rows ascending makes the gathered layout
+    (row, col)-lexicographic, so the final top_k's tie order matches the
+    flat one exactly."""
     R, D = det_map.shape
-    k1 = min(D, max_dets)
-    if R * D > 16384 and R * k1 >= max_dets:
-        vals1, col1 = jax.lax.top_k(det_map, k1)          # (R, k1)
-        vals2, i2 = jax.lax.top_k(vals1.ravel(), max_dets)
-        row = (i2 // k1).astype(jnp.int32)
-        col = col1.ravel()[i2].astype(jnp.int32)
-        vals, range_bin, doppler_bin = vals2, row, col
+    if R * D > 16384 and R >= max_dets:
+        row_max = jnp.max(det_map, axis=1)
+        _, rows = jax.lax.top_k(row_max, max_dets)
+        rows = jnp.sort(rows)                             # ascending row ids
+        sub = jnp.take(det_map, rows, axis=0)             # (max_dets, D)
+        vals, i2 = jax.lax.top_k(sub.ravel(), max_dets)
+        range_bin = jnp.take(rows, i2 // D).astype(jnp.int32)
+        doppler_bin = (i2 % D).astype(jnp.int32)
     else:
         vals, idx = jax.lax.top_k(det_map.ravel(), max_dets)
         range_bin = (idx // D).astype(jnp.int32)

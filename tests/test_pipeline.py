@@ -141,6 +141,38 @@ def test_detection_topk_two_stage_identical():
     assert out["n_dets"] == 300
 
 
+def test_detection_topk_row_select_adversarial():
+    # Worst cases for the row-select reduction: (a) one row holding far more
+    # than max_dets detections, (b) more tie rows at the k-th value than
+    # tie slots, (c) fewer detections than max_dets (k-th value ties at 0
+    # across almost every row).  All must equal the flat top_k exactly.
+    from fmcw_tpu.ops.detect import topk_detections
+
+    def check(m, k=64):
+        out = jax.tree.map(np.asarray, topk_detections(m, max_dets=k))
+        vals, idx = jax.lax.top_k(m.ravel(), k)
+        assert np.array_equal(out["mag"], np.asarray(vals))
+        sel = np.asarray(out["range_bin"]) * m.shape[1] + np.asarray(
+            out["doppler_bin"])
+        assert np.array_equal(sel, np.asarray(idx))
+
+    R, D = 256, 128
+    m = np.zeros((R, D), dtype=np.float32)
+    m[17, :100] = np.arange(100, 0, -1).astype(np.float32)  # dense row
+    m[40, 3] = 1000.0
+    check(m)
+
+    m = np.zeros((R, D), dtype=np.float32)
+    m[100:230, 7] = 5.0        # 130 rows tied at the boundary value
+    m[5, 2] = 9.0
+    check(m)
+
+    m = np.zeros((R, D), dtype=np.float32)
+    m[9, 9] = 3.0              # n_dets << max_dets, ties at 0 everywhere
+    m[200, 100] = 3.0          # and a positive tie across distant rows
+    check(m)
+
+
 def test_fft_methods_agree(qiq):
     from fmcw_tpu.ops import fft as F
     re = qiq[..., 0].astype(np.float32)
