@@ -75,14 +75,14 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         # Range window+FFT fused into one MXU GEMM per component.
         re, im = F.fft_apply(re, im, axis=1, window=True, method=fft_method,
                              precision=precision)
-        # Corner turn: chirp-major -> range-major.  On one chip this folds
-        # into the next matmul's layout; across chips it is the all_to_all
-        # (parallel/sharded.py).
-        re, im = re.T, im.T
-        re, im = N.mti_notch_float(re, im, axis=1, mode=p.notch_mode,
-                                   bypass=mti_bypass, transient=mti_transient)
-        re, im = F.fft_apply(re, im, axis=1, window=True, method=fft_method,
-                             precision=precision)
+        # Whole slow-time chain — corner turn + MTI + window + Doppler DFT —
+        # as ONE matrix contraction over the chirp axis (ops/fft.py
+        # doppler_matrices): chirp-major in, range-major out, no transpose
+        # or per-stage intermediates materialized.  Across chips the corner
+        # turn is the all_to_all instead (parallel/sharded.py).
+        re, im = F.doppler_apply(re, im, axis=0, bypass=mti_bypass,
+                                 notch_mode=p.notch_mode,
+                                 transient=mti_transient, precision=precision)
         mag = M.magnitude_float(re, im, exact=magnitude_exact)
         det, threshold, scale = C.cfar_2d_auto(
             mag, scale_override, cfar=p.cfar, integer=False,

@@ -169,6 +169,74 @@ def block_scale_map(mag_map: jnp.ndarray, cfar: CfarParams,
     return to_cells(scale_b).astype(jnp.int32)
 
 
+def block_scale_map_sharded(mag_local: jnp.ndarray, cfar: CfarParams,
+                            integer: bool, axis_name: str) -> jnp.ndarray:
+    """Range-sharded block_scale_map: each shard holds a contiguous
+    (R_local, D) slab of the map (D complete).  The 3x3-block neighborhood
+    needs one *block-grid* row from each range neighbor — a ring ppermute of
+    a (Db,)-sized row of block sums / packed counts (tiny: bytes, not map
+    rows), after which every per-block quantity equals the single-chip
+    wrap-mode value exactly (integer mode bit-exact; float mode adds in the
+    same (i, j) order as the single-chip nb9).  Only edge_mode='wrap' is
+    meaningful across shards (the ring realizes the global torus), matching
+    the sharded CFAR halo (parallel/sharded.py).
+    """
+    B = cfar.scale_block
+    R, D = mag_local.shape
+    if R % B or D % B:
+        raise ValueError(f"scale_block={B} must divide local shape {(R, D)}")
+    if cfar.edge_mode != "wrap":
+        raise ValueError("sharded block scale supports edge_mode='wrap' only")
+    Rb, Db = R // B, D // B
+    N = 9 * B * B
+    rank_idx = min((N * cfar.rank_pct) // 100, N - 1)
+    k = N - rank_idx
+    m = mag_local.astype(jnp.int32) if integer else mag_local.astype(jnp.float32)
+
+    n_sh = jax.lax.axis_size(axis_name)
+    fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+    bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+
+    def ext_range(grid):
+        """(Db, Rb) -> (Db, Rb + 2): ring halo along the range-block axis."""
+        left = jax.lax.ppermute(grid[:, -1:], axis_name, fwd)
+        right = jax.lax.ppermute(grid[:, :1], axis_name, bwd)
+        return jnp.concatenate([left, grid, right], axis=1)
+
+    def nb9(grid):
+        """Same term order as block_scale_map's nb9 (axis0=Doppler blocks
+        gets offset i, axis1=range blocks offset j) for float parity."""
+        e = ext_range(grid)
+        out = None
+        for i in (-1, 0, 1):
+            for j in (-1, 0, 1):
+                t = jnp.roll(e[:, 1 + j: 1 + j + Rb], -i, axis=0)
+                out = t if out is None else out + t
+        return out
+
+    def block_reduce_t(x):
+        rows = x.reshape(Rb, B, D).sum(axis=1)
+        return rows.T.reshape(Db, B, Rb).sum(axis=1)
+
+    def to_cells(tb_t):
+        return jnp.repeat(jnp.repeat(tb_t, B, axis=0).T, B, axis=0)
+
+    if integer:
+        mean = to_cells(nb9(block_reduce_t(m)) // N)
+        ind = ((m > mean + (mean >> 1)).astype(jnp.int32)
+               + ((m >= (mean >> 1)).astype(jnp.int32) << 10))
+    else:
+        mean = to_cells(nb9(block_reduce_t(m)) / N)
+        ind = ((m > 1.5 * mean).astype(jnp.int32)
+               + ((m >= 0.5 * mean).astype(jnp.int32) << 10))
+    packed = nb9(block_reduce_t(ind))
+    cnt_hi = packed & 1023
+    cnt_lo = packed >> 10
+    scale_b = jnp.where(cnt_hi >= k, cfar.scale_max,
+                        jnp.where(cnt_lo < k, cfar.scale_min, cfar.scale_nom))
+    return to_cells(scale_b).astype(jnp.int32)
+
+
 def _order_statistic(refs: jnp.ndarray, rank_idx: int) -> jnp.ndarray:
     """rank_idx-th ascending order statistic over the trailing axis via
     top_k of the (n_ref - rank_idx) largest (os_cfar_2d.vhd:172-183)."""
@@ -182,7 +250,8 @@ def cfar_2d_auto(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
                  cfar: CfarParams = CfarParams(), integer: bool = False,
                  prepadded_range: bool = False, method: str = "auto",
                  rank_bits: int | None = None, int_bits: int = 17,
-                 need_debug: bool = True):
+                 need_debug: bool = True,
+                 scale_map: jnp.ndarray | None = None):
     """Dispatch between the XLA formulation (this module) and the Pallas
     kernels (ops/cfar_pallas.py).  ``auto`` uses Pallas for the OS variant on
     TPU; XLA for CA/GO/SO and on non-TPU backends (where Pallas would run
@@ -205,7 +274,7 @@ def cfar_2d_auto(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
             det, scale = cfar_2d_pallas_detect(
                 mag_map, scale_override, cfar=cfar, integer=integer,
                 prepadded_range=prepadded_range, interpret=interpret,
-                int_bits=int_bits)
+                int_bits=int_bits, scale_map=scale_map)
             return det, None, scale
         return cfar_2d_pallas(mag_map, scale_override, cfar=cfar,
                               integer=integer,
@@ -213,14 +282,15 @@ def cfar_2d_auto(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
                               interpret=interpret, rank_bits=rank_bits,
                               int_bits=int_bits)
     return cfar_2d(mag_map, scale_override, cfar=cfar, integer=integer,
-                   prepadded_range=prepadded_range)
+                   prepadded_range=prepadded_range, scale_map=scale_map)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfar", "integer", "prepadded_range"))
 def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
             cfar: CfarParams = CfarParams(), integer: bool = False,
-            prepadded_range: bool = False):
+            prepadded_range: bool = False,
+            scale_map: jnp.ndarray | None = None):
     """2D CFAR over a (n_range, n_doppler) magnitude map.
 
     Returns (det_map, threshold, scale): the zero-suppressed detection map
@@ -253,12 +323,14 @@ def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
 
     cut = m[cfar.halo_range:-cfar.halo_range] if prepadded_range else m
     if cfar.scale_mode == "block":
-        if prepadded_range:
+        if scale_map is not None:
+            scale = scale_map.astype(jnp.int32)
+        elif prepadded_range:
             raise ValueError(
-                "scale_mode='block' is single-device only: the 3x3-block "
-                "neighborhood needs a scale_block-wide halo the sharded "
-                "pipeline does not exchange — use scale_mode='cell'")
-        scale = block_scale_map(cut, cfar, integer)
+                "scale_mode='block' with a prepadded (sharded) map needs "
+                "the halo-exchanged scale_map from block_scale_map_sharded")
+        else:
+            scale = block_scale_map(cut, cfar, integer)
     else:
         if integer:
             mean = sum_refs // cfar.n_ref

@@ -371,7 +371,8 @@ def cfar_2d_pallas_detect(mag_map: jnp.ndarray,
                           cfar: CfarParams = CfarParams(),
                           integer: bool = False,
                           prepadded_range: bool = False, tile_rows: int = 128,
-                          interpret: bool = False, int_bits: int = 17):
+                          interpret: bool = False, int_bits: int = 17,
+                          scale_map: jnp.ndarray | None = None):
     """Fast path for consumers that only need the detection map (and scale):
     returns (det_map, scale) with det_map bit-exact vs ops.cfar.cfar_2d's.
     See _kernel_detect for why this needs no rank selection.
@@ -379,22 +380,31 @@ def cfar_2d_pallas_detect(mag_map: jnp.ndarray,
     ``int_bits`` (integer mode): upper bound on the map's value width.  Up
     to 24 bits the threshold decision uses an exact one-division-per-cell
     ceiling; wider maps fall back to a per-reference multiply (still exact,
-    ~n_ref extra multiplies per cell)."""
+    ~n_ref extra multiplies per cell).
+
+    ``scale_map`` (block mode): externally computed per-cell scale, shaped
+    like the un-padded core map — used by the sharded pipeline, whose block
+    statistics need a cross-shard block-grid halo exchange
+    (ops.cfar.block_scale_map_sharded).  The scale_override fold is applied
+    here either way."""
     m = mag_map
     hr, hd = cfar.halo_range, cfar.halo_doppler
     core, padded, so, R, D, tile_rows = _prepare(
         m, scale_override, cfar, integer, prepadded_range, tile_rows)
     n_tiles = R // tile_rows
     if cfar.scale_mode == "block":
-        if prepadded_range:
-            raise ValueError(
-                "scale_mode='block' is single-device only (see ops.cfar); "
-                "use scale_mode='cell' in sharded pipelines")
-        # The clutter-map scale is ~40 fused XLA ops/cell computed on the
-        # real-valued map; the kernel then runs only the detection-count pass.
-        from .cfar import block_scale_map
-        scale_map = block_scale_map(m, cfar, integer)
-        scale_map = jnp.where(so[0] != 0, so[0], scale_map)
+        if scale_map is None:
+            if prepadded_range:
+                raise ValueError(
+                    "scale_mode='block' with a prepadded (sharded) map needs "
+                    "the halo-exchanged scale_map from "
+                    "ops.cfar.block_scale_map_sharded")
+            # The clutter-map scale is a few fused XLA map passes computed
+            # on the real-valued map; the kernel then runs only the
+            # detection-count pass.
+            from .cfar import block_scale_map
+            scale_map = block_scale_map(m, cfar, integer)
+        scale_map = jnp.where(so[0] != 0, so[0], scale_map.astype(jnp.int32))
         block = pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
         det32, scale_out = pl.pallas_call(

@@ -141,6 +141,72 @@ def ct_apply(re: jnp.ndarray, im: jnp.ndarray, axis: int, window: bool = False,
     return jnp.moveaxis(xr, -1, axis), jnp.moveaxis(xi, -1, axis)
 
 
+@functools.lru_cache(maxsize=16)
+def doppler_matrices(n: int, notch_mode: int = 2, transient: str = "zero",
+                     coef_width: int = 16, dtype=np.float32):
+    """The whole slow-time chain folded into one matrix pair.
+
+    Window multiply, MTI notch and Doppler DFT are all linear along the
+    chirp axis, so they compose into a single operator
+    ``M = H^T @ diag(w) @ E`` with ``E[s, k] = exp(-2j*pi*s*k/n)``, ``w`` the
+    Q15 Hamming window and ``H`` the pulse-canceller matrix
+    (doppler_notch.vhd:72-94: y[s] = x[s] - x[s-1] or x[s] - 2x[s-1] +
+    x[s-2]; missing history reads as 0 = the "passthrough" transient, and
+    ``transient="zero"`` zeroes the first notch_mode-1 output rows instead —
+    docs/design_notes.md §2).  One MXU contraction then replaces three
+    stages *and* the corner-turn transpose (contract the chirp axis of the
+    chirp-major range-FFT output directly; the result axis lands last, i.e.
+    range-major).  Returns (Mr_mti, Mi_mti, Mr_plain, Mi_plain); the plain
+    pair folds only the window, for the runtime mti_bypass control.
+    """
+    s = np.arange(n)[:, None].astype(np.float64)
+    k = np.arange(n)[None, :].astype(np.float64)
+    ang = -2.0 * np.pi * s * k / n
+    er, ei = np.cos(ang), np.sin(ang)
+    from .window import hamming_float
+    w = hamming_float(n, coef_width).astype(np.float64)[:, None]
+    er_w, ei_w = er * w, ei * w                      # diag(w) @ E
+    h = np.zeros((n, n))
+    for r in range(n):
+        h[r, r] = 1.0
+        if r >= 1:
+            h[r, r - 1] = -1.0 if notch_mode == 2 else -2.0
+        if notch_mode == 3 and r >= 2:
+            h[r, r - 2] = 1.0
+    if transient == "zero":
+        h[: notch_mode - 1, :] = 0.0
+    return (np.ascontiguousarray((h.T @ er_w).astype(dtype)),
+            np.ascontiguousarray((h.T @ ei_w).astype(dtype)),
+            np.ascontiguousarray(er_w.astype(dtype)),
+            np.ascontiguousarray(ei_w.astype(dtype)))
+
+
+def doppler_apply(re: jnp.ndarray, im: jnp.ndarray, axis: int, bypass,
+                  notch_mode: int = 2, transient: str = "zero",
+                  precision=jax.lax.Precision.HIGHEST):
+    """Fused Doppler stage (window + MTI + DFT, see doppler_matrices) along
+    ``axis``.  ``bypass`` is the traced mti_bypass control — it selects the
+    window-only matrix.  The transformed axis moves to the LAST result
+    position (for the radar chain that *is* the corner turn: chirp-major in,
+    range-major out, no transpose materialized)."""
+    n = re.shape[axis]
+    mr1, mi1, mr0, mi0 = doppler_matrices(n, notch_mode, transient)
+    cr = jnp.where(bypass, jnp.asarray(mr0), jnp.asarray(mr1))
+    ci = jnp.where(bypass, jnp.asarray(mi0), jnp.asarray(mi1))
+    dn = (((axis % re.ndim,), (0,)), ((), ()))
+
+    def mm(x, c):
+        return jax.lax.dot_general(x, c, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+
+    xr_cr = mm(re, cr)
+    xr_ci = mm(re, ci)
+    xi_cr = mm(im, cr)
+    xi_ci = mm(im, ci)
+    return xr_cr - xi_ci, xr_ci + xi_cr
+
+
 def fft_apply(re: jnp.ndarray, im: jnp.ndarray, axis: int, window: bool = False,
               method: str = "matmul", precision=jax.lax.Precision.HIGHEST):
     """Forward FFT along ``axis``; method "matmul" (dense MXU DFT), "ct"

@@ -78,6 +78,11 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
     max_dets = p.tracker.max_dets
     nr_local = p.n_range // sp
     hr = p.cfar.halo_range
+    if p.cfar.scale_mode == "block" and nr_local % p.cfar.scale_block:
+        raise ValueError(
+            f"scale_mode='block' needs the local range extent "
+            f"({nr_local} = n_range/sp) divisible by "
+            f"scale_block={p.cfar.scale_block}")
 
     def frame_fn(iq, mti_bypass, scale_override):
         """Per-(dp-shard, sp-shard) single-frame body.  iq local shape:
@@ -91,14 +96,16 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
             re, im = F.fft_apply(re, im, axis=1, window=True,
                                  method=fft_method, precision=precision)
             # Corner turn: all-to-all splits the range axis over sp and
-            # gathers all chirps; local transpose yields (nr_local, nd).
+            # gathers all chirps -> (nd, nr_local) chirp-major shard; the
+            # fused Doppler operator (window+MTI+DFT, ops/fft.py) contracts
+            # the chirp axis directly, landing range-major — same op order
+            # as the single-chip float path.
             re, im = [jax.lax.all_to_all(x, "sp", split_axis=1, concat_axis=0,
-                                         tiled=True).T for x in (re, im)]
-            re, im = N.mti_notch_float(re, im, axis=1, mode=p.notch_mode,
-                                       bypass=mti_bypass,
-                                       transient=mti_transient)
-            re, im = F.fft_apply(re, im, axis=1, window=True,
-                                 method=fft_method, precision=precision)
+                                         tiled=True) for x in (re, im)]
+            re, im = F.doppler_apply(re, im, axis=0, bypass=mti_bypass,
+                                     notch_mode=p.notch_mode,
+                                     transient=mti_transient,
+                                     precision=precision)
             mag = M.magnitude_float(re, im, exact=magnitude_exact)
             sat = jnp.int32(0)
         elif mode == "fixed":
@@ -129,7 +136,14 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
         else:
             raise ValueError(mode)
 
-        # CFAR with cross-shard halo (ring exchange along sp).
+        # CFAR with cross-shard halo (ring exchange along sp).  Block-mode
+        # adaptive scale computes its block statistics with a block-grid
+        # halo exchange (bytes, not map rows) — bit-identical to the
+        # single-chip wrap semantics.
+        scale_map = None
+        if p.cfar.scale_mode == "block":
+            scale_map = C.block_scale_map_sharded(
+                mag, p.cfar, integer=(mode == "fixed"), axis_name="sp")
         mag_h = _halo_exchange_rows(mag, hr, "sp")
         det, _, _ = C.cfar_2d_auto(mag_h, scale_override, cfar=p.cfar,
                                    integer=(mode == "fixed"),
@@ -137,7 +151,7 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
                                    method=cfar_method, int_bits=16,
                                    rank_bits=(None if mode == "fixed"
                                               else cfar_rank_bits),
-                                   need_debug=False)
+                                   need_debug=False, scale_map=scale_map)
         if peak_group_radius > 0:
             # Peak grouping also needs neighbor context; reuse the exchange.
             # Global row ids keep tie-breaking identical to single chip even

@@ -12,8 +12,11 @@ short-circuit (block == cell under a global override), and false-alarm-rate
 validation vs the per-cell reference semantics.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from fmcw_tpu.params import CfarParams, RadarParams
@@ -162,6 +165,50 @@ def test_block_divisibility_error():
 
 
 def test_sharded_guard():
-    with pytest.raises(ValueError, match="single-device"):
+    with pytest.raises(ValueError, match="block_scale_map_sharded"):
         C.cfar_2d(jnp.zeros((128 + 12, 128), jnp.int32), 0, cfar=BLOCK,
                   integer=True, prepadded_range=True)
+
+
+@pytest.mark.parametrize("mode,dp,sp", [("float32", 1, 8), ("fixed", 2, 4)])
+def test_sharded_block_mode_matches_single_chip(mode, dp, sp):
+    """Block-mode adaptive scale across shards (block-grid halo exchange)
+    reproduces the single-chip detection set exactly."""
+    from fmcw_tpu import quick
+    from fmcw_tpu.golden import reference
+    from fmcw_tpu.models import pipeline as pl
+    from fmcw_tpu.parallel import mesh as M, sharded as sh
+
+    q = quick()
+    q = q.replace(cfar=dataclasses.replace(q.cfar, scale_mode="block"))
+    frames = [reference.two_target_frame(q, seed=s) for s in range(4)]
+    batch = np.stack([pl.complex_to_iq(f) for f in frames])
+
+    mesh = M.make_mesh(dp=dp, sp=sp)
+    proc = sh.make_sharded_processor(mesh, q, mode=mode, include_maps=True)
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = jax.tree.map(
+        np.asarray, pl.make_batch_processor(q, mode=mode,
+                                            include_maps=True)(batch))
+    assert np.array_equal(out["det_map"] > 0, single["det_map"] > 0)
+    assert np.array_equal(out["n_dets"], single["n_dets"])
+    for i in range(batch.shape[0]):
+        v_s, v_r = out["valid"][i], single["valid"][i]
+        dets_s = set(zip(out["range_bin"][i][v_s].tolist(),
+                         out["doppler_bin"][i][v_s].tolist()))
+        dets_r = set(zip(single["range_bin"][i][v_r].tolist(),
+                         single["doppler_bin"][i][v_r].tolist()))
+        assert dets_s == dets_r
+    if mode == "fixed":
+        np.testing.assert_array_equal(out["mag_map"], single["mag_map"])
+
+
+def test_sharded_block_divisibility_guard():
+    from fmcw_tpu import quick
+    from fmcw_tpu.parallel import mesh as M, sharded as sh
+
+    q = quick()
+    q = q.replace(cfar=dataclasses.replace(q.cfar, scale_mode="block",
+                                           scale_block=32))
+    with pytest.raises(ValueError, match="divisible"):
+        sh.make_sharded_processor(M.make_mesh(dp=1, sp=8), q)

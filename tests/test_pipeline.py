@@ -8,6 +8,7 @@ vs the bit-faithful fixed-point model with exact detection parity.
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from fmcw_tpu import RadarParams, quick
 from fmcw_tpu.golden import reference as ref
@@ -182,6 +183,32 @@ def test_fft_methods_agree(qiq):
     scale = np.abs(np.asarray(r2)).max()
     assert np.max(np.abs(np.asarray(r1) - np.asarray(r2))) / scale < 1e-5
     assert np.max(np.abs(np.asarray(i1) - np.asarray(i2))) / scale < 1e-5
+
+
+@pytest.mark.parametrize("mode,transient,bypass", [
+    (2, "zero", False), (2, "passthrough", False), (3, "zero", False),
+    (3, "passthrough", False), (2, "zero", True),
+])
+def test_fused_doppler_matches_explicit_chain(mode, transient, bypass):
+    # doppler_apply == .T -> mti_notch_float -> windowed fft_apply, within
+    # f32 tolerance, for every transient/mode/bypass combination.
+    from fmcw_tpu.ops import fft as F, notch as N
+    rng = np.random.default_rng(7)
+    nd, nr = 32, 64
+    re = rng.normal(size=(nd, nr)).astype(np.float32) * 1000
+    im = rng.normal(size=(nd, nr)).astype(np.float32) * 1000
+
+    fr, fi = F.doppler_apply(jnp.asarray(re), jnp.asarray(im), axis=0,
+                             bypass=jnp.asarray(bypass), notch_mode=mode,
+                             transient=transient)
+
+    er, ei = N.mti_notch_float(jnp.asarray(re.T), jnp.asarray(im.T), axis=1,
+                               mode=mode, bypass=jnp.asarray(bypass),
+                               transient=transient)
+    er, ei = F.fft_apply(er, ei, axis=1, window=True, method="matmul")
+    scale = max(np.abs(np.asarray(er)).max(), 1.0)
+    assert np.max(np.abs(np.asarray(fr) - np.asarray(er))) / scale < 1e-5
+    assert np.max(np.abs(np.asarray(fi) - np.asarray(ei))) / scale < 1e-5
 
 
 def test_saturation_counter(qframe):
