@@ -94,6 +94,11 @@ def main():
         ("pallas-cfar-blockscale/ct-HIGH", p_block,
          dict(fft_method="ct", precision=jax.lax.Precision.HIGH,
               cfar_method="auto")),
+        # Fused Pallas front-end (iq -> magnitude in one VMEM-resident
+        # kernel) + block-scale CFAR.
+        ("pallas-frontend+blockscale/HIGH", p_block,
+         dict(frontend="pallas", precision=jax.lax.Precision.HIGH,
+              cfar_method="auto")),
     ]
     if "--sweep" in sys.argv:
         configs += [

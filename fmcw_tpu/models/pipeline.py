@@ -50,7 +50,8 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                    cfar_method: str = "auto",
                    cfar_rank_bits: int | None = 16,
                    include_maps: bool = True,
-                   include_debug: bool = False) -> Callable:
+                   include_debug: bool = False,
+                   frontend: str = "xla") -> Callable:
     """Build the jitted single-frame processor.
 
     Returned callable: ``fn(iq, mti_bypass=False, scale_override=0) -> dict``
@@ -70,20 +71,32 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
     max_dets = p.tracker.max_dets
 
     def float_path(iq, mti_bypass, scale_override):
-        re = iq[..., 0].astype(jnp.float32)
-        im = iq[..., 1].astype(jnp.float32)
-        # Range window+FFT fused into one MXU GEMM per component.
-        re, im = F.fft_apply(re, im, axis=1, window=True, method=fft_method,
-                             precision=precision)
-        # Whole slow-time chain — corner turn + MTI + window + Doppler DFT —
-        # as ONE matrix contraction over the chirp axis (ops/fft.py
-        # doppler_matrices): chirp-major in, range-major out, no transpose
-        # or per-stage intermediates materialized.  Across chips the corner
-        # turn is the all_to_all instead (parallel/sharded.py).
-        re, im = F.doppler_apply(re, im, axis=0, bypass=mti_bypass,
-                                 notch_mode=p.notch_mode,
-                                 transient=mti_transient, precision=precision)
-        mag = M.magnitude_float(re, im, exact=magnitude_exact)
+        if frontend == "pallas":
+            # Whole front-end (range FFT + fused slow-time operator +
+            # magnitude) in one VMEM-resident kernel — HBM sees only the
+            # int16 frame in and the f32 map out (ops/frontend_pallas.py).
+            from ..ops.frontend_pallas import rdm_frontend
+            mag = rdm_frontend(iq, mti_bypass, notch_mode=p.notch_mode,
+                               transient=mti_transient,
+                               exact_mag=magnitude_exact,
+                               interpret=jax.default_backend() != "tpu")
+        else:
+            re = iq[..., 0].astype(jnp.float32)
+            im = iq[..., 1].astype(jnp.float32)
+            # Range window+FFT fused into one MXU GEMM per component.
+            re, im = F.fft_apply(re, im, axis=1, window=True,
+                                 method=fft_method, precision=precision)
+            # Whole slow-time chain — corner turn + MTI + window + Doppler
+            # DFT — as ONE matrix contraction over the chirp axis
+            # (ops/fft.py doppler_matrices): chirp-major in, range-major
+            # out, no transpose or per-stage intermediates materialized.
+            # Across chips the corner turn is the all_to_all instead
+            # (parallel/sharded.py).
+            re, im = F.doppler_apply(re, im, axis=0, bypass=mti_bypass,
+                                     notch_mode=p.notch_mode,
+                                     transient=mti_transient,
+                                     precision=precision)
+            mag = M.magnitude_float(re, im, exact=magnitude_exact)
         det, threshold, scale = C.cfar_2d_auto(
             mag, scale_override, cfar=p.cfar, integer=False,
             method=cfar_method, rank_bits=cfar_rank_bits,

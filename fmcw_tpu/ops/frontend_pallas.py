@@ -1,0 +1,185 @@
+"""Pallas TPU kernel: fused radar front-end (I/Q frame -> magnitude map).
+
+The XLA float front-end (range window+FFT matmuls -> fused Doppler operator
+-> magnitude) measures ~28 us/frame and is *MXU-bound at bf16x3*: the dense
+(nr, nr) DFT matmul costs 4*nd*nr^2 MACs x3 passes (~17 us/frame of pure
+MACs at nr=1024) and a lane-friendly Cooley-Tukey restructure in XLA loses
+its MAC savings to HBM relayouts (docs/PERF_LOG.md).  In VMEM those
+relayouts are free.  This kernel runs the whole front-end per frame with
+every intermediate in VMEM and the FFT in Cooley-Tukey form:
+
+    int16 I/Q (nd, nr) x2, viewed as n2 contiguous lane slices of width
+    n1 = 128 (s = n1*j2 + j1):
+      1. Hamming window (elementwise, Q15 float weights)
+      2. outer DFT_n2 over the slices: n2^2 scalar-weighted (nd, n1) adds
+         on the VPU (full f32 — better than the MXU's bf16x3)
+      3. twiddle W_nr^(j1*k2): one (1, n1) row broadcast per slice
+      4. inner DFT_n1: per-slice (nd, n1) @ (n1, n1) MXU dots
+      5. fused slow-time operator (window + MTI + Doppler DFT + corner
+         turn, ops/fft.doppler_matrices): per-slice contraction over the
+         chirp axis -> (n1, nd) range-major
+      6. alpha-max-beta-min (or exact) magnitude
+    -> f32 magnitude (n2, n1, nd); row 8q+k2 of the map is [k2, q] — the
+       caller de-interleaves with one cheap XLA transpose+reshape.
+
+    MAC count: 4*3*(nd*nr*n1 + nr*nd*nd) ~ 0.4 G for 1024x128 — 4x less
+    than the dense XLA path.
+
+Mosaic in-kernel dots only support DEFAULT (1-pass bf16 — fails detection
+parity, docs/PERF_LOG.md) and HIGHEST (bf16x6 — 2x the passes of XLA's
+HIGH, measured slower).  The kernel therefore implements **bf16x3
+manually**: each f32 operand splits exactly into bf16 hi + lo residual and
+each real matmul is three DEFAULT-precision MXU passes
+``xh@Ch + (xl@Ch + xh@Cl)`` — the same decomposition XLA's Precision.HIGH
+uses — with the matrices pre-split host-side.  Numerics match the XLA HIGH
+path's error model; agreement is to f32 tolerance, not bit-exact —
+bench.py's runtime detection-parity gate and
+tests/test_frontend_pallas.py bound the difference.
+
+Capabilities cited for parity: window_multiplier + xfft chain
+(rtl/src/radar_core.vhd:267-390), doppler_notch.vhd:72-94,
+magnitude_calc.vhd:70-88.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fft import dft_matrices, doppler_matrices
+
+
+def _split_matrix(c: np.ndarray):
+    """f32 matrix -> (bf16 hi, bf16 lo) with hi + lo == c to ~2^-17 rel."""
+    c = np.asarray(c, np.float32)
+    hi = c.astype(jnp.bfloat16)
+    lo = (c - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+    return np.asarray(hi), np.asarray(lo)
+
+
+@functools.lru_cache(maxsize=8)
+def _ct_split(nr: int):
+    """(n1, n2, W_n2 (n2, n2) re/im, twiddle (n2, n1) re/im) for the
+    n2-major split s = n1*j2 + j1 with n1 = 128."""
+    n1 = min(nr, 128)
+    assert nr % n1 == 0
+    n2 = nr // n1
+    j2 = np.arange(n2)[:, None].astype(np.float64)
+    k2 = np.arange(n2)[None, :].astype(np.float64)
+    a2 = -2.0 * np.pi * j2 * k2 / n2
+    j1 = np.arange(n1)[None, :].astype(np.float64)
+    at = -2.0 * np.pi * k2.T * j1 / nr               # W_nr^(j1*k2)
+    return (n1, n2, np.cos(a2).astype(np.float32), np.sin(a2).astype(np.float32),
+            np.cos(at).astype(np.float32), np.sin(at).astype(np.float32))
+
+
+def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
+            c1h_ref, c1l_ref, s1h_ref, s1l_ref,
+            mrh_ref, mrl_ref, mih_ref, mil_ref, mag_ref, *,
+            n1: int, n2: int, c2r, c2i, exact_mag: bool):
+    def mm3(x, ch_ref, cl_ref, dn):
+        """bf16x3 real matmul: exact bf16 hi/lo split of x, three 1-pass
+        MXU dots against the pre-split matrix halves."""
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = lambda a, b: jax.lax.dot_general(
+            a, b, dimension_numbers=dn, preferred_element_type=jnp.float32)
+        return d(xh, ch_ref[...]) + (d(xl, ch_ref[...]) + d(xh, cl_ref[...]))
+
+    dn1 = (((1,), (0,)), ((), ()))                   # contract j1 / samples
+    dn0 = (((0,), (0,)), ((), ()))                   # contract chirp axis
+
+    # 1. Window the n2 contiguous lane slices (w passed pre-reshaped
+    #    (n2, n1): slice j2 uses row j2).
+    xr_s, xi_s = [], []
+    for j2 in range(n2):
+        w = win_ref[j2, :]
+        xr_s.append(re_ref[:, pl.ds(j2 * n1, n1)].astype(jnp.float32) * w)
+        xi_s.append(im_ref[:, pl.ds(j2 * n1, n1)].astype(jnp.float32) * w)
+
+    for k2 in range(n2):
+        # 2. Outer DFT_n2: scalar-weighted sums of the slices (VPU, f32).
+        if n2 == 1:
+            br, bi = xr_s[0], xi_s[0]
+        else:
+            br = bi = None
+            for j2 in range(n2):
+                cr_, ci_ = float(c2r[j2, k2]), float(c2i[j2, k2])
+                tr = xr_s[j2] * cr_ - xi_s[j2] * ci_
+                ti = xr_s[j2] * ci_ + xi_s[j2] * cr_
+                br = tr if br is None else br + tr
+                bi = ti if bi is None else bi + ti
+            # 3. Twiddle W_nr^(j1*k2): one (1, n1) row per k2.
+            twr = twr_ref[k2, :]
+            twi = twi_ref[k2, :]
+            br, bi = br * twr - bi * twi, br * twi + bi * twr
+
+        # 4. Inner DFT_n1 on the MXU: (nd, n1) @ (n1, n1).
+        rr = mm3(br, c1h_ref, c1l_ref, dn1) - mm3(bi, s1h_ref, s1l_ref, dn1)
+        ri = mm3(br, s1h_ref, s1l_ref, dn1) + mm3(bi, c1h_ref, c1l_ref, dn1)
+
+        # 5. Fused slow-time operator: contract chirps -> (n1, nd).
+        yr = mm3(rr, mrh_ref, mrl_ref, dn0) - mm3(ri, mih_ref, mil_ref, dn0)
+        yi = mm3(rr, mih_ref, mil_ref, dn0) + mm3(ri, mrh_ref, mrl_ref, dn0)
+
+        # 6. Magnitude; map row n2*q + k2 lands at [k2, q].
+        if exact_mag:
+            mag_ref[k2] = jnp.sqrt(yr * yr + yi * yi)
+        else:
+            ar = jnp.abs(yr)
+            ai = jnp.abs(yi)
+            mag_ref[k2] = jnp.maximum(ar, ai) + 0.375 * jnp.minimum(ar, ai)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("notch_mode", "transient", "coef_width", "exact_mag",
+                     "interpret"))
+def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
+                 transient: str = "zero", coef_width: int = 16,
+                 exact_mag: bool = False,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Fused front-end for one frame: iq int16 (nd, nr, 2) -> magnitude
+    f32 (nr, nd), nr a multiple-of-128 with nr/128 <= 16 (or nr <= 128).
+    Batch by vmapping (the batch dim becomes the Pallas grid, as with the
+    CFAR kernels); matrices stay VMEM-resident across grid steps."""
+    nd, nr, _ = iq.shape
+    n1, n2, c2r, c2i, twr, twi = _ct_split(nr)
+    if n2 > 16:
+        raise ValueError(f"n_range={nr}: outer radix {n2} > 16")
+    from .window import hamming_float
+    win = np.asarray(hamming_float(nr, coef_width),
+                     np.float32).reshape(n2, n1)
+    c1r, c1i = dft_matrices(n1)
+    c1h, c1l = _split_matrix(c1r)
+    s1h, s1l = _split_matrix(c1i)
+    m1r, m1i, m0r, m0i = doppler_matrices(nd, notch_mode, transient,
+                                          coef_width)
+    m1 = [jnp.asarray(x) for m in (m1r, m1i) for x in _split_matrix(m)]
+    m0 = [jnp.asarray(x) for m in (m0r, m0i) for x in _split_matrix(m)]
+    byp = jnp.asarray(mti_bypass)
+    mrh, mrl, mih, mil = [jnp.where(byp, a, b) for a, b in zip(m0, m1)]
+
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n1=n1, n2=n2, c2r=c2r, c2i=c2i,
+                          exact_mag=exact_mag),
+        in_specs=[vmem()] * 13,
+        out_specs=vmem(),
+        out_shape=jax.ShapeDtypeStruct((n2, n1, nd), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(iq[..., 0], iq[..., 1], jnp.asarray(win), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(c1h), jnp.asarray(c1l),
+      jnp.asarray(s1h), jnp.asarray(s1l), mrh, mrl, mih, mil)
+    # De-interleave: map row n2*q + k2 = out[k2, q] -> (nr, nd).
+    return jnp.swapaxes(out, 0, 1).reshape(nr, nd)
