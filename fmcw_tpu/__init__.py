@@ -18,6 +18,7 @@ Layout:
 """
 
 from . import params  # noqa: F401
-from .params import RadarParams, CfarParams, TrackerParams, full, quick  # noqa: F401
+from .params import (RadarParams, CfarParams, TrackerParams,  # noqa: F401
+                     full, quick, fast)
 
 __version__ = "0.1.0"

@@ -148,3 +148,17 @@ def quick() -> RadarParams:
         cfar=CfarParams(ref_range=2, ref_doppler=2, guard_range=1, guard_doppler=1),
         tracker=TrackerParams(max_tracks=16),
     )
+
+
+def fast() -> RadarParams:
+    """Full-resolution throughput configuration: clutter-map (block) CFAR
+    scale (docs/design_notes.md §8).  Pair with the fused Pallas front-end
+    for the measured-fastest single-chip pipeline:
+
+        proc = pipeline.make_processor(fmcw_tpu.fast(), mode="float32",
+                                       frontend="pallas",
+                                       include_maps=False)
+
+    (bench.py's headline config; ~20.7k frames/s on a v5e chip vs ~11.1k
+    for the reference-faithful per-cell configuration)."""
+    return RadarParams(cfar=CfarParams(scale_mode="block"))

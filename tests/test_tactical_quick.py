@@ -1,0 +1,70 @@
+"""Quick tactical-scenario regression — the framework's analog of the
+reference's checked-in quick-run artifacts (ADR_quick_det.txt /
+ADR_quick_trk.txt, SURVEY.md §4 "golden regression data").
+
+The reference's artifact values (873 raw detections over the quick run,
+ACTIVE ramping 0 -> 7) are NOT directly comparable: most of its detections
+are close-in sea-clutter rings admitted by the crossed-axis CFAR geometry
+and burst smearing (SURVEY.md §2a), and its ACTIVE count starts late due to
+the 776-cell CFAR startup skip.  What this test pins instead:
+
+* the exact (deterministic, seed=42, fixed-point) per-scan raw detection
+  counts — a golden regression in the same spirit as data/radar_output.txt;
+* behavioral invariants shared with the reference run: detections on every
+  scan, every synthesized target covered on multiple scans, the track count
+  ramping monotonically to at least the target count, and bounded false
+  alarms (no detection explosion on a 128x32 map).
+"""
+
+import numpy as np
+import jax
+
+from fmcw_tpu import quick
+from fmcw_tpu.models import pipeline as pl, scenario as sc
+from fmcw_tpu.runtime import surveillance as sv
+
+Q = quick()
+
+
+def _scenario_frames():
+    scen = sc.TacticalScenario(Q, sc.quick_scenario())
+    out = [(scan, pl.complex_to_iq(frame), truth)
+           for scan, frame, truth in scen.run()]
+    return out
+
+
+def test_quick_scenario_pinned_detection_counts():
+    frames = np.stack([f for _, f, _ in _scenario_frames()])
+    proc = pl.make_batch_processor(Q, mode="fixed", include_maps=False)
+    out = jax.tree.map(np.asarray, proc(frames))
+    # Deterministic fixed-point chain, seed 42 — pinned like golden data.
+    assert out["n_dets"].tolist() == [11, 4, 6, 9, 6]
+    # Bounded false alarms: a 128x32 map has 4096 cells; the reference's
+    # quick run logged ~175 dets/scan (mostly clutter ring).
+    assert all(0 < n < 100 for n in out["n_dets"].tolist())
+
+
+def test_quick_scenario_targets_covered_and_tracks_ramp():
+    data = _scenario_frames()
+    proc1 = pl.make_processor(Q, mode="fixed", include_maps=False)
+    covered = {}  # target index -> scans with a detection within 3 bins
+    for scan, iq, truth in data:
+        out = jax.tree.map(np.asarray, proc1(iq))
+        rb = out["range_bin"][out["valid"]]
+        for t, (tr, td, _amp) in enumerate(truth):
+            if np.any(np.abs(rb - tr) <= 3):
+                covered.setdefault(t, []).append(scan)
+    # Every synthesized target (2 fighters + 1 attacker) detected on at
+    # least 2 of the 5 scans (burst synthesis spreads target energy, so
+    # per-scan detection is intermittent; the TWS coast logic carries it).
+    assert set(covered) == {0, 1, 2}
+    assert all(len(s) >= 2 for s in covered.values())
+
+    proc = pl.make_batch_processor(Q, mode="fixed", include_maps=False,
+                                   peak_group_radius=2)
+    res = list(sv.run_surveillance(proc, [f for _, f, _ in data], Q,
+                                   batch_scans=5))
+    actives = [r.active_tracks for r in res]
+    assert actives == sorted(actives)          # monotone ramp-up
+    assert actives[-1] >= 3                    # all targets under track
+    assert actives[-1] <= Q.tracker.max_tracks
