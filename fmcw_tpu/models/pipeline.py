@@ -70,16 +70,28 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
     p = params or RadarParams()
     max_dets = p.tracker.max_dets
 
+    # In-kernel clutter-map scale: the fused front-end can emit the block
+    # scale from its VMEM-resident mag slices when the block grid lines up
+    # with its slice layout (scale_block == n_range/128, wrap edges).
+    kernel_scale = (frontend == "pallas" and p.cfar.scale_mode == "block"
+                    and p.cfar.variant == "os" and p.cfar.edge_mode == "wrap"
+                    and p.n_range > 128
+                    and p.cfar.scale_block == p.n_range // 128
+                    and p.n_doppler % p.cfar.scale_block == 0)
+
     def float_path(iq, mti_bypass, scale_override):
+        scale_map = None
         if frontend == "pallas":
             # Whole front-end (range FFT + fused slow-time operator +
             # magnitude) in one VMEM-resident kernel — HBM sees only the
             # int16 frame in and the f32 map out (ops/frontend_pallas.py).
             from ..ops.frontend_pallas import rdm_frontend
-            mag = rdm_frontend(iq, mti_bypass, notch_mode=p.notch_mode,
+            out = rdm_frontend(iq, mti_bypass, notch_mode=p.notch_mode,
                                transient=mti_transient,
                                exact_mag=magnitude_exact,
-                               interpret=jax.default_backend() != "tpu")
+                               interpret=jax.default_backend() != "tpu",
+                               cfar=p.cfar if kernel_scale else None)
+            mag, scale_map = out if kernel_scale else (out, None)
         else:
             re = iq[..., 0].astype(jnp.float32)
             im = iq[..., 1].astype(jnp.float32)
@@ -100,7 +112,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         det, threshold, scale = C.cfar_2d_auto(
             mag, scale_override, cfar=p.cfar, integer=False,
             method=cfar_method, rank_bits=cfar_rank_bits,
-            need_debug=include_debug)
+            need_debug=include_debug, scale_map=scale_map)
         nonfinite = jnp.sum(~jnp.isfinite(mag)).astype(jnp.int32)
         return mag, det, threshold, scale, jnp.int32(0), nonfinite
 

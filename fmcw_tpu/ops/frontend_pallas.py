@@ -78,10 +78,73 @@ def _ct_split(nr: int):
             np.cos(at).astype(np.float32), np.sin(at).astype(np.float32))
 
 
+def _block_scale_epilogue(mags, scale_ref, *, n2: int, nd: int, n1: int,
+                          cfar):
+    """Clutter-map scale (CfarParams.scale_mode='block', design_notes §8)
+    computed from the in-VMEM mag slices when scale_block == n2 == nd//16...
+
+    Exploits the sliced layout: map rows n2*q + k2 for fixed q are exactly
+    one 8-row block, so block-ROW sums are just sum over the n2 slices —
+    and the resulting scale plane (block-constant over rows within q) is a
+    single (n1, nd) output valid for every k2.  Doppler-axis block sums and
+    the 3x3 neighborhood run as lane rolls; counts stay exact int32 on the
+    VPU.  Same own-block-threshold semantics as ops/cfar.block_scale_map
+    (float sum order differs in ulps — the fused frontend's mag already
+    differs from the XLA path's by more).
+    """
+    B = cfar.scale_block
+    N = 9 * B * B
+    rank_idx = min((N * cfar.rank_pct) // 100, N - 1)
+    k = N - rank_idx
+
+    def roll(x, sh, axis):
+        # pltpu.roll requires a non-negative shift; jnp.roll semantics.
+        return pltpu.roll(x, sh % x.shape[axis], axis)
+
+    def rows3(x):
+        return x + roll(x, 1, 0) + roll(x, -1, 0)
+
+    def lane_group_bcast(x):
+        """Sum lanes in groups of B, value broadcast to every lane of its
+        group: sliding sum (valid at group leaders) + log leader-bcast."""
+        s = x
+        for j in range(1, B):
+            s = s + roll(x, -j, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        v = s
+        for step in (1, 2, 4):
+            if step < B:
+                v = jnp.where((lane % B) & step != 0, roll(v, step, 1), v)
+        return v
+
+    def groups3(x):
+        return x + roll(x, B, 1) + roll(x, -B, 1)
+
+    r = mags[0]
+    for k2 in range(1, n2):
+        r = r + mags[k2]                      # block-row sums (q, kd) f32
+    nsum = groups3(lane_group_bcast(rows3(r)))
+    mean = nsum * (1.0 / N)
+    t_hi = 1.5 * mean
+    t_lo = 0.5 * mean
+    ind = ((mags[0] > t_hi).astype(jnp.int32)
+           + ((mags[0] >= t_lo).astype(jnp.int32) << 10))
+    for k2 in range(1, n2):
+        ind = ind + ((mags[k2] > t_hi).astype(jnp.int32)
+                     + ((mags[k2] >= t_lo).astype(jnp.int32) << 10))
+    packed = groups3(lane_group_bcast(rows3(ind)))
+    cnt_hi = packed & 1023
+    cnt_lo = packed >> 10
+    scale_ref[...] = jnp.where(
+        cnt_hi >= k, cfar.scale_max,
+        jnp.where(cnt_lo < k, cfar.scale_min, cfar.scale_nom)).astype(
+            jnp.int32)
+
+
 def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
             c1h_ref, c1l_ref, s1h_ref, s1l_ref,
-            mrh_ref, mrl_ref, mih_ref, mil_ref, mag_ref, *,
-            n1: int, n2: int, c2r, c2i, exact_mag: bool):
+            mrh_ref, mrl_ref, mih_ref, mil_ref, mag_ref, *scale_ref,
+            n1: int, n2: int, c2r, c2i, exact_mag: bool, cfar=None):
     def mm3(x, ch_ref, cl_ref, dn):
         """bf16x3 real matmul: exact bf16 hi/lo split of x, three 1-pass
         MXU dots against the pre-split matrix halves."""
@@ -96,7 +159,7 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
 
     # 1. Window the n2 contiguous lane slices (w passed pre-reshaped
     #    (n2, n1): slice j2 uses row j2).
-    xr_s, xi_s = [], []
+    xr_s, xi_s, mags = [], [], []
     for j2 in range(n2):
         w = win_ref[j2, :]
         xr_s.append(re_ref[:, pl.ds(j2 * n1, n1)].astype(jnp.float32) * w)
@@ -129,29 +192,46 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
 
         # 6. Magnitude; map row n2*q + k2 lands at [k2, q].
         if exact_mag:
-            mag_ref[k2] = jnp.sqrt(yr * yr + yi * yi)
+            m = jnp.sqrt(yr * yr + yi * yi)
         else:
             ar = jnp.abs(yr)
             ai = jnp.abs(yi)
-            mag_ref[k2] = jnp.maximum(ar, ai) + 0.375 * jnp.minimum(ar, ai)
+            m = jnp.maximum(ar, ai) + 0.375 * jnp.minimum(ar, ai)
+        mag_ref[k2] = m
+        mags.append(m)
+
+    if cfar is not None:
+        _block_scale_epilogue(mags, scale_ref[0], n2=n2, nd=mags[0].shape[1],
+                              n1=n1, cfar=cfar)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("notch_mode", "transient", "coef_width", "exact_mag",
-                     "interpret"))
+                     "interpret", "cfar"))
 def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
                  transient: str = "zero", coef_width: int = 16,
                  exact_mag: bool = False,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False, cfar=None):
     """Fused front-end for one frame: iq int16 (nd, nr, 2) -> magnitude
     f32 (nr, nd), nr a multiple-of-128 with nr/128 <= 16 (or nr <= 128).
     Batch by vmapping (the batch dim becomes the Pallas grid, as with the
-    CFAR kernels); matrices stay VMEM-resident across grid steps."""
+    CFAR kernels); matrices stay VMEM-resident across grid steps.
+
+    ``cfar`` (a CfarParams with scale_mode='block', scale_block == nr/128,
+    edge_mode='wrap'): also emit the clutter-map scale from the in-VMEM mag
+    slices (_block_scale_epilogue) and return (mag, scale int32 (nr, nd))."""
     nd, nr, _ = iq.shape
     n1, n2, c2r, c2i, twr, twi = _ct_split(nr)
     if n2 > 16:
         raise ValueError(f"n_range={nr}: outer radix {n2} > 16")
+    if cfar is not None and (cfar.scale_mode != "block"
+                             or cfar.scale_block != n2
+                             or nd % cfar.scale_block
+                             or cfar.edge_mode != "wrap"):
+        raise ValueError(
+            f"in-kernel scale needs scale_mode='block', scale_block == "
+            f"n_range/128 == {n2}, wrap edges; got {cfar}")
     from .window import hamming_float
     win = np.asarray(hamming_float(nr, coef_width),
                      np.float32).reshape(n2, n1)
@@ -170,16 +250,28 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)
+    out_shape = jax.ShapeDtypeStruct((n2, n1, nd), jnp.float32)
+    out_specs = vmem()
+    if cfar is not None:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((n1, nd), jnp.int32)]
+        out_specs = [vmem(), vmem()]
     out = pl.pallas_call(
         functools.partial(_kernel, n1=n1, n2=n2, c2r=c2r, c2i=c2i,
-                          exact_mag=exact_mag),
+                          exact_mag=exact_mag, cfar=cfar),
         in_specs=[vmem()] * 13,
-        out_specs=vmem(),
-        out_shape=jax.ShapeDtypeStruct((n2, n1, nd), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         **kwargs,
     )(iq[..., 0], iq[..., 1], jnp.asarray(win), jnp.asarray(twr),
       jnp.asarray(twi), jnp.asarray(c1h), jnp.asarray(c1l),
       jnp.asarray(s1h), jnp.asarray(s1l), mrh, mrl, mih, mil)
+    if cfar is not None:
+        mag_s, scale_plane = out
+        mag = jnp.swapaxes(mag_s, 0, 1).reshape(nr, nd)
+        # Map row k belongs to block row k // scale_block == q (k = n2*q+k2,
+        # scale_block == n2), so repeat the block-constant plane rows.
+        return mag, jnp.repeat(scale_plane, n2, axis=0)
     # De-interleave: map row n2*q + k2 = out[k2, q] -> (nr, nd).
     return jnp.swapaxes(out, 0, 1).reshape(nr, nd)

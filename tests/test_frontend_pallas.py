@@ -60,6 +60,45 @@ def test_pipeline_frontend_pallas_detections():
     assert da == db
 
 
+def test_frontend_kernel_scale_matches_block_scale_map():
+    """The in-kernel clutter-map scale epilogue agrees with the XLA
+    block_scale_map evaluated on the kernel's own magnitude output (float
+    sum order differs in ulps, so agreement is near-total rather than
+    bit-guaranteed; decision edges are validated by the pipeline-level
+    detection-set test below)."""
+    import dataclasses
+    from fmcw_tpu.ops import cfar as C
+
+    p = RadarParams(cfar=dataclasses.replace(RadarParams().cfar,
+                                             scale_mode="block"))
+    iq = pl.complex_to_iq(reference.two_target_frame(p))
+    mag, scale = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
+                              interpret=True, cfar=p.cfar)
+    assert scale.shape == (p.n_range, p.n_doppler)
+    ref = np.asarray(C.block_scale_map(mag, p.cfar, integer=False))
+    got = np.asarray(scale)
+    assert set(np.unique(got)) <= {p.cfar.scale_min, p.cfar.scale_nom,
+                                   p.cfar.scale_max}
+    assert np.mean(got == ref) > 0.995
+
+
+def test_pipeline_kernel_scale_detections_match():
+    import dataclasses
+
+    p = RadarParams(cfar=dataclasses.replace(RadarParams().cfar,
+                                             scale_mode="block"))
+    iq = pl.complex_to_iq(reference.two_target_frame(p))
+    proc = pl.make_processor(p, mode="float32", include_maps=False,
+                             frontend="pallas")
+    out = jax.tree.map(np.asarray, proc(iq))
+    rb = out["range_bin"][out["valid"]]
+    assert any(abs(int(r) - 100) <= 2 for r in rb)
+    assert any(abs(int(r) - 500) <= 2 for r in rb)
+    # Global override still wins over the kernel-emitted scale.
+    out5 = jax.tree.map(np.asarray, proc(iq, scale_override=6))
+    assert out5["n_dets"] <= out["n_dets"] + 50  # sane, not exploding
+
+
 def test_pipeline_frontend_pallas_batch_vmap():
     iq = pl.complex_to_iq(reference.two_target_frame(Q))
     batch = np.stack([iq, iq])
