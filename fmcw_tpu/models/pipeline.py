@@ -51,7 +51,8 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                    cfar_rank_bits: int | None = 16,
                    include_maps: bool = True,
                    include_debug: bool = False,
-                   frontend: str = "xla") -> Callable:
+                   frontend: str = "xla",
+                   fuse_detect: bool = True) -> Callable:
     """Build the jitted single-frame processor.
 
     Returned callable: ``fn(iq, mti_bypass=False, scale_override=0) -> dict``
@@ -78,6 +79,13 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                     and p.n_range > 128
                     and p.cfar.scale_block == p.n_range // 128
                     and p.n_doppler % p.cfar.scale_block == 0)
+    # Fully fused path: CFAR detection also runs inside the front-end kernel
+    # (the mag map never leaves VMEM) and top-K extraction consumes the
+    # kernel's sliced det layout directly.  ``fuse_detect=False`` keeps the
+    # standalone detect kernel (A/B benchmarking, debug taps, peak grouping).
+    kernel_detect = (fuse_detect and kernel_scale and mode == "float32"
+                     and peak_group_radius == 0 and not include_debug
+                     and cfar_method in ("auto", "pallas"))
 
     def float_path(iq, mti_bypass, scale_override):
         scale_map = None
@@ -142,8 +150,26 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
 
     path = {"float32": float_path, "fixed": fixed_path}[mode]
 
+    def fused_path(iq, mti_bypass, scale_override):
+        from ..ops.frontend_pallas import rdm_frontend
+        det_s, mag, nonfinite = rdm_frontend(
+            iq, mti_bypass, notch_mode=p.notch_mode, transient=mti_transient,
+            exact_mag=magnitude_exact,
+            interpret=jax.default_backend() != "tpu", cfar=p.cfar,
+            detect=True, scale_override=scale_override,
+            emit_mag=include_maps)
+        out = DET.topk_detections_sliced(det_s, max_dets=max_dets)
+        out["saturation_count"] = jnp.int32(0)
+        out["nonfinite_count"] = nonfinite
+        if include_maps:
+            out["mag_map"] = mag
+            out["det_map"] = jnp.swapaxes(det_s, 0, 1).reshape(mag.shape)
+        return out
+
     @jax.jit
     def _process(iq, mti_bypass, scale_override):
+        if kernel_detect:
+            return fused_path(iq, mti_bypass, scale_override)
         mag, det, threshold, scale, sat, nonfinite = path(
             iq, mti_bypass, scale_override)
         if peak_group_radius > 0:

@@ -56,3 +56,21 @@ def topk_detections(det_map: jnp.ndarray, max_dets: int = 64):
         "valid": valid,
         "n_dets": jnp.sum(det_map > 0).astype(jnp.int32),
     }
+
+
+@functools.partial(jax.jit, static_argnames=("max_dets",))
+def topk_detections_sliced(det_slices: jnp.ndarray, max_dets: int = 64):
+    """topk_detections over the fused front-end's sliced detection layout
+    (ops/frontend_pallas.rdm_frontend(detect=True)): det_slices is
+    (n2, n1, n_doppler) with true map row n2*q + k2 stored at [k2, q].
+    Extracting on the sliced layout directly skips the (n_range, n_doppler)
+    de-interleave transpose; only the 64 extracted row indices are remapped.
+    Same detection set as topk on the de-interleaved map; entry order within
+    equal-magnitude ties follows the sliced row order instead of the map row
+    order (the set, not the order, is the reference's contract —
+    rtl/src/radar_core.vhd:413-418 emits stream order anyway)."""
+    n2, n1, D = det_slices.shape
+    out = topk_detections(det_slices.reshape(n2 * n1, D), max_dets=max_dets)
+    r = out["range_bin"]
+    out["range_bin"] = (r % n1) * n2 + r // n1
+    return out

@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fft import dft_matrices, doppler_matrices
+from ..golden.fixed_point import _window_offsets
 
 
 def _split_matrix(c: np.ndarray):
@@ -78,8 +79,7 @@ def _ct_split(nr: int):
             np.cos(at).astype(np.float32), np.sin(at).astype(np.float32))
 
 
-def _block_scale_epilogue(mags, scale_ref, *, n2: int, nd: int, n1: int,
-                          cfar):
+def _block_scale(mags, *, n2: int, cfar):
     """Clutter-map scale (CfarParams.scale_mode='block', design_notes §8)
     computed from the in-VMEM mag slices when scale_block == n2 == nd//16...
 
@@ -135,16 +135,81 @@ def _block_scale_epilogue(mags, scale_ref, *, n2: int, nd: int, n1: int,
     packed = groups3(lane_group_bcast(rows3(ind)))
     cnt_hi = packed & 1023
     cnt_lo = packed >> 10
-    scale_ref[...] = jnp.where(
+    return jnp.where(
         cnt_hi >= k, cfar.scale_max,
         jnp.where(cnt_lo < k, cfar.scale_min, cfar.scale_nom)).astype(
             jnp.int32)
 
 
+_DET_PAD = 8  # sublane pad rows in the detect scratch (8-aligned stores)
+
+
+def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar):
+    """CFAR detection pass fused into the front-end kernel: the exact
+    counting formulation of ops/cfar_pallas._kernel_detect_scaled (float
+    mode, q_min probing), evaluated on the in-VMEM mag slices so the
+    magnitude map never round-trips HBM before the decision.
+
+    The map rows are interleaved across the n2 slices (true row
+    r = n2*q + k2 lives at mags[k2][q]), so a window offset of dr true rows
+    from slice k2 is slice (k2+dr) mod n2 at a sublane offset of
+    floor((k2+dr)/n2) — a *static* sub-row load once each slice's
+    win_doppler lane-rotated copies sit in the padded ``rot_ref`` scratch
+    (lane rolls implement the wrap edge_mode; the sublane pads replicate the
+    row wrap).  Per reference cell the hot loop is one load + compare + add,
+    identical op structure to the standalone kernel, with the XLA-side pad,
+    the mag HBM round trip and the separate dispatch all gone.
+    """
+    n1, nd = mags[0].shape
+    hr, hd = cfar.halo_range, cfar.halo_doppler
+    k = cfar.n_ref - cfar.rank_idx
+    P = _DET_PAD
+    for k2 in range(n2):
+        m = mags[k2]
+        for j in range(cfar.win_doppler):
+            # rot[j][:, d] = m[:, (d + j - hd) mod nd] (the lane-slice-of-
+            # padded-map layout of the standalone kernel's rot_ref).
+            r = pltpu.roll(m, (hd - j) % nd, axis=1)
+            rot_ref[j, k2, pl.ds(P, n1)] = r
+            rot_ref[j, k2, pl.ds(0, P)] = r[n1 - P:, :]
+            rot_ref[j, k2, pl.ds(P + n1, P)] = r[:P, :]
+    scale = jnp.where(so != 0, so, scale)
+    scale_f = scale.astype(jnp.float32)
+    offsets = _window_offsets(cfar)
+    for k2 in range(n2):
+        cut = mags[k2]
+        # Exact q_min: smallest float whose rounded product with scale
+        # reaches cut (see ops/cfar_pallas._kernel_detect float pass C).
+        ti = pltpu.bitcast(cut / scale_f, jnp.int32)
+        q = pltpu.bitcast(ti + 1, jnp.float32)
+        for delta in (0, -1, -2):
+            c = pltpu.bitcast(ti + delta, jnp.float32)
+            q = jnp.where(c * scale_f >= cut, c, q)
+        cnt = jnp.zeros((n1, nd), jnp.int32)
+        for dr, dd in offsets:
+            v = rot_ref[dd + hd, (k2 + dr) % n2,
+                        pl.ds(P + (k2 + dr) // n2, n1)]
+            cnt = cnt + (v >= q).astype(jnp.int32)
+        det = (cnt < k) & (cut > 0.0)
+        det_ref[k2] = jnp.where(det, cut, jnp.zeros_like(cut))
+
+
 def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
             c1h_ref, c1l_ref, s1h_ref, s1l_ref,
-            mrh_ref, mrl_ref, mih_ref, mil_ref, mag_ref, *scale_ref,
-            n1: int, n2: int, c2r, c2i, exact_mag: bool, cfar=None):
+            mrh_ref, mrl_ref, mih_ref, mil_ref, *rest,
+            n1: int, n2: int, c2r, c2i, exact_mag: bool, cfar=None,
+            detect: bool = False, emit_mag: bool = True):
+    rest = list(rest)
+    if detect:
+        # Ref order: so (SMEM input) | det, [mag], nf (outputs) | rot scratch.
+        so_ref = rest.pop(0)
+        det_ref = rest.pop(0)
+        mag_ref = rest.pop(0) if emit_mag else None
+        nf_ref = rest.pop(0)
+        rot_ref = rest.pop(0)
+    else:
+        mag_ref = rest.pop(0)
+        scale_ref = rest
     def mm3(x, ch_ref, cl_ref, dn):
         """bf16x3 real matmul: exact bf16 hi/lo split of x, three 1-pass
         MXU dots against the pre-split matrix halves."""
@@ -197,22 +262,32 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
             ar = jnp.abs(yr)
             ai = jnp.abs(yi)
             m = jnp.maximum(ar, ai) + 0.375 * jnp.minimum(ar, ai)
-        mag_ref[k2] = m
+        if mag_ref is not None:
+            mag_ref[k2] = m
         mags.append(m)
 
-    if cfar is not None:
-        _block_scale_epilogue(mags, scale_ref[0], n2=n2, nd=mags[0].shape[1],
-                              n1=n1, cfar=cfar)
+    if detect:
+        scale = _block_scale(mags, n2=n2, cfar=cfar)
+        _detect_epilogue(mags, scale, so_ref[0], det_ref, rot_ref,
+                         n2=n2, cfar=cfar)
+        nf = jnp.zeros((), jnp.int32)
+        for m in mags:
+            nf = nf + jnp.sum((~jnp.isfinite(m)).astype(jnp.int32))
+        nf_ref[0, 0] = nf
+    elif cfar is not None:
+        scale_ref[0][...] = _block_scale(mags, n2=n2, cfar=cfar)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("notch_mode", "transient", "coef_width", "exact_mag",
-                     "interpret", "cfar"))
+                     "interpret", "cfar", "detect", "emit_mag"))
 def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
                  transient: str = "zero", coef_width: int = 16,
                  exact_mag: bool = False,
-                 interpret: bool = False, cfar=None):
+                 interpret: bool = False, cfar=None,
+                 detect: bool = False, scale_override=0,
+                 emit_mag: bool = True):
     """Fused front-end for one frame: iq int16 (nd, nr, 2) -> magnitude
     f32 (nr, nd), nr a multiple-of-128 with nr/128 <= 16 (or nr <= 128).
     Batch by vmapping (the batch dim becomes the Pallas grid, as with the
@@ -220,7 +295,18 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
 
     ``cfar`` (a CfarParams with scale_mode='block', scale_block == nr/128,
     edge_mode='wrap'): also emit the clutter-map scale from the in-VMEM mag
-    slices (_block_scale_epilogue) and return (mag, scale int32 (nr, nd))."""
+    slices (_block_scale) and return (mag, scale int32 (nr, nd)).
+
+    ``detect=True`` (requires ``cfar`` as above, OS variant): additionally
+    run the whole CFAR detection pass in-kernel (_detect_epilogue) — the
+    magnitude map never leaves VMEM.  Returns
+    ``(det_slices f32 (n2, n1, nd), mag (nr, nd) | None, nonfinite int32)``
+    where det_slices row [k2, q] is true map row n2*q + k2
+    (ops/detect.topk_detections_sliced consumes it directly; de-interleave
+    with swapaxes+reshape for a (nr, nd) det map).  ``emit_mag=False`` skips
+    the magnitude HBM write entirely.  Bit-exact vs running
+    ops/cfar_pallas.cfar_2d_pallas_detect on this kernel's own mag/scale
+    outputs (tests/test_frontend_pallas.py)."""
     nd, nr, _ = iq.shape
     n1, n2, c2r, c2i, twr, twi = _ct_split(nr)
     if n2 > 16:
@@ -232,6 +318,13 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
         raise ValueError(
             f"in-kernel scale needs scale_mode='block', scale_block == "
             f"n_range/128 == {n2}, wrap edges; got {cfar}")
+    if detect:
+        if cfar is None or cfar.variant != "os":
+            raise ValueError("detect=True needs an OS-variant block-mode "
+                             "CfarParams (see the cfar argument)")
+        if (cfar.halo_range + n2 - 1) // n2 > _DET_PAD:
+            raise ValueError(f"halo_range {cfar.halo_range} exceeds the "
+                             f"detect scratch row pad ({_DET_PAD} x n2)")
     from .window import hamming_float
     win = np.asarray(hamming_float(nr, coef_width),
                      np.float32).reshape(n2, n1)
@@ -250,23 +343,45 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)
-    out_shape = jax.ShapeDtypeStruct((n2, n1, nd), jnp.float32)
-    out_specs = vmem()
-    if cfar is not None:
-        out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((n1, nd), jnp.int32)]
+    slices = jax.ShapeDtypeStruct((n2, n1, nd), jnp.float32)
+    operands = [iq[..., 0], iq[..., 1], jnp.asarray(win), jnp.asarray(twr),
+                jnp.asarray(twi), jnp.asarray(c1h), jnp.asarray(c1l),
+                jnp.asarray(s1h), jnp.asarray(s1l), mrh, mrl, mih, mil]
+    in_specs = [vmem()] * 13
+    scratch = []
+    if detect:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(scale_override, jnp.int32).reshape(1))
+        out_shape = [slices]                                    # det
+        if emit_mag:
+            out_shape.append(slices)                            # mag
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))  # nf
+        out_specs = [vmem()] * len(out_shape)
+        scratch = [pltpu.VMEM(
+            (cfar.win_doppler, n2, n1 + 2 * _DET_PAD, nd), jnp.float32)]
+    elif cfar is not None:
+        out_shape = [slices, jax.ShapeDtypeStruct((n1, nd), jnp.int32)]
         out_specs = [vmem(), vmem()]
+    else:
+        out_shape = slices
+        out_specs = vmem()
     out = pl.pallas_call(
         functools.partial(_kernel, n1=n1, n2=n2, c2r=c2r, c2i=c2i,
-                          exact_mag=exact_mag, cfar=cfar),
-        in_specs=[vmem()] * 13,
+                          exact_mag=exact_mag, cfar=cfar, detect=detect,
+                          emit_mag=emit_mag),
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
-    )(iq[..., 0], iq[..., 1], jnp.asarray(win), jnp.asarray(twr),
-      jnp.asarray(twi), jnp.asarray(c1h), jnp.asarray(c1l),
-      jnp.asarray(s1h), jnp.asarray(s1l), mrh, mrl, mih, mil)
+    )(*operands)
+    if detect:
+        det_s = out[0]
+        mag = (jnp.swapaxes(out[1], 0, 1).reshape(nr, nd) if emit_mag
+               else None)
+        nf = out[-1][0, 0]
+        return det_s, mag, nf
     if cfar is not None:
         mag_s, scale_plane = out
         mag = jnp.swapaxes(mag_s, 0, 1).reshape(nr, nd)

@@ -99,6 +99,77 @@ def test_pipeline_kernel_scale_detections_match():
     assert out5["n_dets"] <= out["n_dets"] + 50  # sane, not exploding
 
 
+def _block_params():
+    import dataclasses
+    return RadarParams(cfar=dataclasses.replace(RadarParams().cfar,
+                                                scale_mode="block"))
+
+
+def test_frontend_detect_bitexact_vs_standalone_kernel():
+    """detect=True det map == cfar_2d_pallas_detect on the kernel's own
+    mag/scale outputs (same q_min counting formulation, same wrap edges)."""
+    from fmcw_tpu.ops.cfar_pallas import cfar_2d_pallas_detect
+
+    p = _block_params()
+    iq = pl.complex_to_iq(reference.two_target_frame(p))
+    for so in (0, 6):
+        det_s, mag, nf = rdm_frontend(
+            jnp.asarray(iq), jnp.asarray(False), interpret=True, cfar=p.cfar,
+            detect=True, scale_override=jnp.asarray(so, jnp.int32))
+        mag2, scale = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
+                                   interpret=True, cfar=p.cfar)
+        assert np.array_equal(np.asarray(mag), np.asarray(mag2))
+        want, _ = cfar_2d_pallas_detect(mag2, jnp.asarray(so, jnp.int32),
+                                        cfar=p.cfar, interpret=True,
+                                        scale_map=scale)
+        got = np.swapaxes(np.asarray(det_s), 0, 1).reshape(p.n_range,
+                                                           p.n_doppler)
+        assert np.array_equal(got, np.asarray(want))
+        assert int(nf) == 0
+
+
+def test_topk_detections_sliced_matches_deinterleaved():
+    from fmcw_tpu.ops import detect as DET
+
+    rng = np.random.default_rng(3)
+    n2, n1, D = 8, 128, 128
+    det_s = np.where(rng.random((n2, n1, D)) < 0.002,
+                     rng.random((n2, n1, D)).astype(np.float32) + 1.0,
+                     0.0).astype(np.float32)
+    a = jax.tree.map(np.asarray,
+                     DET.topk_detections_sliced(jnp.asarray(det_s)))
+    det_map = np.swapaxes(det_s, 0, 1).reshape(n2 * n1, D)
+    b = jax.tree.map(np.asarray,
+                     DET.topk_detections(jnp.asarray(det_map)))
+    assert a["n_dets"] == b["n_dets"]
+    sa = set(zip(a["range_bin"][a["valid"]].tolist(),
+                 a["doppler_bin"][a["valid"]].tolist(),
+                 a["mag"][a["valid"]].tolist()))
+    sb = set(zip(b["range_bin"][b["valid"]].tolist(),
+                 b["doppler_bin"][b["valid"]].tolist(),
+                 b["mag"][b["valid"]].tolist()))
+    assert sa == sb
+
+
+def test_pipeline_fused_detect_matches_unfused():
+    p = _block_params()
+    iq = pl.complex_to_iq(reference.two_target_frame(p))
+    fused = pl.make_processor(p, mode="float32", include_maps=True,
+                              frontend="pallas", fuse_detect=True)
+    plain = pl.make_processor(p, mode="float32", include_maps=True,
+                              frontend="pallas", fuse_detect=False)
+    for kw in ({}, {"scale_override": 6}, {"mti_bypass": True}):
+        a = jax.tree.map(np.asarray, fused(iq, **kw))
+        b = jax.tree.map(np.asarray, plain(iq, **kw))
+        assert a["n_dets"] == b["n_dets"]
+        da = set(zip(a["range_bin"][a["valid"]].tolist(),
+                     a["doppler_bin"][a["valid"]].tolist()))
+        db = set(zip(b["range_bin"][b["valid"]].tolist(),
+                     b["doppler_bin"][b["valid"]].tolist()))
+        assert da == db
+        assert np.array_equal(a["det_map"], b["det_map"])
+
+
 def test_pipeline_frontend_pallas_batch_vmap():
     iq = pl.complex_to_iq(reference.two_target_frame(Q))
     batch = np.stack([iq, iq])
