@@ -94,14 +94,20 @@ def main():
         ("pallas-cfar-blockscale/ct-HIGH", p_block,
          dict(fft_method="ct", precision=jax.lax.Precision.HIGH,
               cfar_method="auto")),
-        # Fused Pallas front-end (iq -> magnitude in one VMEM-resident
-        # kernel) + block-scale CFAR.
-        ("pallas-frontend+blockscale/HIGH", p_block,
+        # Fused Pallas front-end: iq -> detections in ONE VMEM-resident
+        # kernel (block scale + CFAR detect run in-kernel; the magnitude
+        # map never touches HBM with include_maps=False).
+        ("pallas-frontend+fused-detect/HIGH", p_block,
          dict(frontend="pallas", precision=jax.lax.Precision.HIGH,
               cfar_method="auto")),
     ]
     if "--sweep" in sys.argv:
         configs += [
+            # A/B: same front-end kernel but CFAR as a standalone dispatch
+            # (mag map round-trips HBM).
+            ("pallas-frontend-unfused/HIGH", p_block,
+             dict(frontend="pallas", precision=jax.lax.Precision.HIGH,
+                  cfar_method="auto", fuse_detect=False)),
             ("xla-cfar/matmul-HIGH", p, dict(fft_method="matmul",
                                              precision=jax.lax.Precision.HIGH,
                                              cfar_method="xla")),

@@ -79,12 +79,19 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                     and p.n_range > 128
                     and p.cfar.scale_block == p.n_range // 128
                     and p.n_doppler % p.cfar.scale_block == 0)
-    # Fully fused path: CFAR detection also runs inside the front-end kernel
-    # (the mag map never leaves VMEM) and top-K extraction consumes the
-    # kernel's sliced det layout directly.  ``fuse_detect=False`` keeps the
-    # standalone detect kernel (A/B benchmarking, debug taps, peak grouping).
-    kernel_detect = (fuse_detect and kernel_scale and mode == "float32"
-                     and peak_group_radius == 0 and not include_debug
+    # Fully fused path: CFAR detection (and peak grouping) also runs inside
+    # the front-end kernel (the mag map never leaves VMEM) and top-K
+    # extraction consumes the kernel's sliced det layout directly.  Works
+    # for both the block-granular scale (kernel_scale grid) and the
+    # reference-exact per-cell scale.  ``fuse_detect=False`` keeps the
+    # standalone kernels (A/B benchmarking, debug taps).
+    kernel_percell = (frontend == "pallas" and p.cfar.scale_mode == "cell"
+                      and p.cfar.variant == "os"
+                      and p.cfar.edge_mode == "wrap" and p.n_range > 128
+                      and p.cfar.halo_range <= 8 * (p.n_range // 128))
+    kernel_detect = (fuse_detect and (kernel_scale or kernel_percell)
+                     and mode == "float32"
+                     and peak_group_radius <= 8 and not include_debug
                      and cfar_method in ("auto", "pallas"))
 
     def float_path(iq, mti_bypass, scale_override):
@@ -157,7 +164,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
             exact_mag=magnitude_exact,
             interpret=jax.default_backend() != "tpu", cfar=p.cfar,
             detect=True, scale_override=scale_override,
-            emit_mag=include_maps)
+            emit_mag=include_maps, peak_group_radius=peak_group_radius)
         out = DET.topk_detections_sliced(det_s, max_dets=max_dets)
         out["saturation_count"] = jnp.int32(0)
         out["nonfinite_count"] = nonfinite

@@ -144,11 +144,76 @@ def _block_scale(mags, *, n2: int, cfar):
 _DET_PAD = 8  # sublane pad rows in the detect scratch (8-aligned stores)
 
 
-def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar):
+def _rotate_into(m, rot_ref, j, k2, shift):
+    """Store the lane-rolled copy of ``m`` (roll by ``shift``) into rotation
+    plane ``j`` of the padded scratch, replicating _DET_PAD wrap rows on each
+    sublane edge (the row-wrap counterpart of the lane roll)."""
+    n1 = m.shape[0]
+    P = _DET_PAD
+    r = pltpu.roll(m, shift, axis=1)
+    rot_ref[j, k2, pl.ds(P, n1)] = r
+    rot_ref[j, k2, pl.ds(0, P)] = r[n1 - P:, :]
+    rot_ref[j, k2, pl.ds(P + n1, P)] = r[:P, :]
+
+
+def _peak_group_epilogue(dets, det_ref, rot_ref, *, n2: int, radius: int):
+    """Peak grouping fused into the front-end kernel: keep a detection only
+    if it is the max of its (2r+1)^2 wrap-padded neighborhood, ties broken
+    toward the lower linear index — identical semantics to ops/cfar.peak_group
+    (and golden fixed_point.peak_group), evaluated on the in-VMEM det slices.
+
+    In the interleaved slice layout (true map row n2*q + k2 at dets[k2][q]) a
+    neighbor at true-row offset dr is a static sub-row of slice (k2+dr) mod n2
+    (same addressing as _detect_epilogue).  The tie predicate "neighbor linear
+    id < mine" needs no id planes: for dr != 0 it collapses to a row-wrap test
+    (true rows are distinct mod n_range), for dr == 0 to a column-wrap test —
+    both static iota compares.
+    """
+    n1, nd = dets[0].shape
+    R = n1 * n2
+    P = _DET_PAD
+    for k2 in range(n2):
+        for j in range(2 * radius + 1):
+            # rot[j][:, d] = det[:, (d + j - radius) mod nd]
+            _rotate_into(dets[k2], rot_ref, j, k2, (radius - j) % nd)
+    dcol = jax.lax.broadcasted_iota(jnp.int32, (n1, nd), 1)
+    qrow = jax.lax.broadcasted_iota(jnp.int32, (n1, nd), 0)
+    for k2 in range(n2):
+        m = dets[k2]
+        row = qrow * n2 + k2
+        bad = None
+        for dr in range(-radius, radius + 1):
+            # nid < id for dr != 0 <=> neighbor's true row wraps below mine.
+            rowlt = (row >= -dr) if dr < 0 else (row >= R - dr)
+            for dd in range(-radius, radius + 1):
+                if dr == 0 and dd == 0:
+                    continue
+                v = rot_ref[dd + radius, (k2 + dr) % n2,
+                            pl.ds(P + (k2 + dr) // n2, n1)]
+                if dr == 0:
+                    pred = (dcol >= -dd) if dd < 0 else (dcol >= nd - dd)
+                else:
+                    pred = rowlt
+                b = (v > m) | ((v == m) & pred)
+                bad = b if bad is None else bad | b
+        keep = (m > 0.0) & ~bad
+        det_ref[k2] = jnp.where(keep, m, jnp.zeros_like(m))
+
+
+def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
+                     peak_radius: int = 0):
     """CFAR detection pass fused into the front-end kernel: the exact
     counting formulation of ops/cfar_pallas._kernel_detect_scaled (float
     mode, q_min probing), evaluated on the in-VMEM mag slices so the
     magnitude map never round-trips HBM before the decision.
+
+    ``scale=None`` selects the reference-exact *per-cell* adaptive scale
+    (scale_mode='cell'): the mean + hi/lo classification counting passes of
+    ops/cfar_pallas._kernel_detect run per slice on the same rotated copies
+    (identical accumulation order, so bit-exact against that kernel).
+    Otherwise ``scale`` is the shared block-mode (n1, nd) plane — valid for
+    every slice because scale_block == n2 makes true row n2*q + k2 fall in
+    block row q regardless of k2.
 
     The map rows are interleaved across the n2 slices (true row
     r = n2*q + k2 lives at mags[k2][q]), so a window offset of dr true rows
@@ -165,19 +230,41 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar):
     k = cfar.n_ref - cfar.rank_idx
     P = _DET_PAD
     for k2 in range(n2):
-        m = mags[k2]
         for j in range(cfar.win_doppler):
             # rot[j][:, d] = m[:, (d + j - hd) mod nd] (the lane-slice-of-
             # padded-map layout of the standalone kernel's rot_ref).
-            r = pltpu.roll(m, (hd - j) % nd, axis=1)
-            rot_ref[j, k2, pl.ds(P, n1)] = r
-            rot_ref[j, k2, pl.ds(0, P)] = r[n1 - P:, :]
-            rot_ref[j, k2, pl.ds(P + n1, P)] = r[:P, :]
-    scale = jnp.where(so != 0, so, scale)
-    scale_f = scale.astype(jnp.float32)
+            _rotate_into(mags[k2], rot_ref, j, k2, (hd - j) % nd)
+    if scale is not None:
+        scale = jnp.where(so != 0, so, scale)
+        scale_f = scale.astype(jnp.float32)
     offsets = _window_offsets(cfar)
+    dets = []
     for k2 in range(n2):
         cut = mags[k2]
+
+        def ref(dr, dd):
+            return rot_ref[dd + hd, (k2 + dr) % n2,
+                           pl.ds(P + (k2 + dr) // n2, n1)]
+
+        if scale is None:
+            # Per-cell adaptive scale (os_cfar_2d.vhd:187-199): mean pass A
+            # + hi/lo classification pass B of _kernel_detect.
+            accf = jnp.zeros((n1, nd), jnp.float32)
+            for dr, dd in offsets:
+                accf = accf + ref(dr, dd)
+            mean = accf / cfar.n_ref
+            t_hi = 1.5 * mean
+            t_lo = 0.5 * mean
+            cnt_hi = jnp.zeros((n1, nd), jnp.int32)
+            cnt_lo = jnp.zeros((n1, nd), jnp.int32)
+            for dr, dd in offsets:
+                v = ref(dr, dd)
+                cnt_hi = cnt_hi + (v > t_hi).astype(jnp.int32)
+                cnt_lo = cnt_lo + (v >= t_lo).astype(jnp.int32)
+            sc = jnp.where(cnt_hi >= k, cfar.scale_max,
+                           jnp.where(cnt_lo < k, cfar.scale_min,
+                                     cfar.scale_nom))
+            scale_f = jnp.where(so != 0, so, sc).astype(jnp.float32)
         # Exact q_min: smallest float whose rounded product with scale
         # reaches cut (see ops/cfar_pallas._kernel_detect float pass C).
         ti = pltpu.bitcast(cut / scale_f, jnp.int32)
@@ -187,18 +274,24 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar):
             q = jnp.where(c * scale_f >= cut, c, q)
         cnt = jnp.zeros((n1, nd), jnp.int32)
         for dr, dd in offsets:
-            v = rot_ref[dd + hd, (k2 + dr) % n2,
-                        pl.ds(P + (k2 + dr) // n2, n1)]
-            cnt = cnt + (v >= q).astype(jnp.int32)
+            cnt = cnt + (ref(dr, dd) >= q).astype(jnp.int32)
         det = (cnt < k) & (cut > 0.0)
-        det_ref[k2] = jnp.where(det, cut, jnp.zeros_like(cut))
+        det = jnp.where(det, cut, jnp.zeros_like(cut))
+        if peak_radius > 0:
+            dets.append(det)       # group once all slices are decided
+        else:
+            det_ref[k2] = det
+    if peak_radius > 0:
+        _peak_group_epilogue(dets, det_ref, rot_ref, n2=n2,
+                             radius=peak_radius)
 
 
 def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
             c1h_ref, c1l_ref, s1h_ref, s1l_ref,
             mrh_ref, mrl_ref, mih_ref, mil_ref, *rest,
             n1: int, n2: int, c2r, c2i, exact_mag: bool, cfar=None,
-            detect: bool = False, emit_mag: bool = True):
+            detect: bool = False, emit_mag: bool = True,
+            peak_radius: int = 0):
     rest = list(rest)
     if detect:
         # Ref order: so (SMEM input) | det, [mag], nf (outputs) | rot scratch.
@@ -267,9 +360,10 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
         mags.append(m)
 
     if detect:
-        scale = _block_scale(mags, n2=n2, cfar=cfar)
+        scale = (_block_scale(mags, n2=n2, cfar=cfar)
+                 if cfar.scale_mode == "block" else None)
         _detect_epilogue(mags, scale, so_ref[0], det_ref, rot_ref,
-                         n2=n2, cfar=cfar)
+                         n2=n2, cfar=cfar, peak_radius=peak_radius)
         nf = jnp.zeros((), jnp.int32)
         for m in mags:
             nf = nf + jnp.sum((~jnp.isfinite(m)).astype(jnp.int32))
@@ -281,13 +375,14 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("notch_mode", "transient", "coef_width", "exact_mag",
-                     "interpret", "cfar", "detect", "emit_mag"))
+                     "interpret", "cfar", "detect", "emit_mag",
+                     "peak_group_radius"))
 def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
                  transient: str = "zero", coef_width: int = 16,
                  exact_mag: bool = False,
                  interpret: bool = False, cfar=None,
                  detect: bool = False, scale_override=0,
-                 emit_mag: bool = True):
+                 emit_mag: bool = True, peak_group_radius: int = 0):
     """Fused front-end for one frame: iq int16 (nd, nr, 2) -> magnitude
     f32 (nr, nd), nr a multiple-of-128 with nr/128 <= 16 (or nr <= 128).
     Batch by vmapping (the batch dim becomes the Pallas grid, as with the
@@ -297,7 +392,9 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
     edge_mode='wrap'): also emit the clutter-map scale from the in-VMEM mag
     slices (_block_scale) and return (mag, scale int32 (nr, nd)).
 
-    ``detect=True`` (requires ``cfar`` as above, OS variant): additionally
+    ``detect=True`` (requires an OS-variant wrap-edge ``cfar``; both
+    scale_mode='block' — grid constraints as above — and the
+    reference-exact scale_mode='cell' are supported): additionally
     run the whole CFAR detection pass in-kernel (_detect_epilogue) — the
     magnitude map never leaves VMEM.  Returns
     ``(det_slices f32 (n2, n1, nd), mag (nr, nd) | None, nonfinite int32)``
@@ -306,25 +403,34 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
     with swapaxes+reshape for a (nr, nd) det map).  ``emit_mag=False`` skips
     the magnitude HBM write entirely.  Bit-exact vs running
     ops/cfar_pallas.cfar_2d_pallas_detect on this kernel's own mag/scale
-    outputs (tests/test_frontend_pallas.py)."""
+    outputs (tests/test_frontend_pallas.py).
+
+    ``peak_group_radius`` (detect=True only): also run peak grouping on the
+    in-VMEM det slices (_peak_group_epilogue) — same semantics as
+    ops/cfar.peak_group with wrap edges."""
     nd, nr, _ = iq.shape
     n1, n2, c2r, c2i, twr, twi = _ct_split(nr)
     if n2 > 16:
         raise ValueError(f"n_range={nr}: outer radix {n2} > 16")
-    if cfar is not None and (cfar.scale_mode != "block"
-                             or cfar.scale_block != n2
-                             or nd % cfar.scale_block
-                             or cfar.edge_mode != "wrap"):
+    percell = detect and cfar is not None and cfar.scale_mode == "cell"
+    if cfar is not None and not percell and (
+            cfar.scale_mode != "block" or cfar.scale_block != n2
+            or nd % cfar.scale_block or cfar.edge_mode != "wrap"):
         raise ValueError(
             f"in-kernel scale needs scale_mode='block', scale_block == "
             f"n_range/128 == {n2}, wrap edges; got {cfar}")
     if detect:
-        if cfar is None or cfar.variant != "os":
-            raise ValueError("detect=True needs an OS-variant block-mode "
+        if cfar is None or cfar.variant != "os" or cfar.edge_mode != "wrap":
+            raise ValueError("detect=True needs an OS-variant wrap-edge "
                              "CfarParams (see the cfar argument)")
         if (cfar.halo_range + n2 - 1) // n2 > _DET_PAD:
             raise ValueError(f"halo_range {cfar.halo_range} exceeds the "
                              f"detect scratch row pad ({_DET_PAD} x n2)")
+        if (peak_group_radius + n2 - 1) // n2 > _DET_PAD:
+            raise ValueError(f"peak_group_radius {peak_group_radius} exceeds "
+                             f"the detect scratch row pad ({_DET_PAD} x n2)")
+    elif peak_group_radius:
+        raise ValueError("peak_group_radius needs detect=True")
     from .window import hamming_float
     win = np.asarray(hamming_float(nr, coef_width),
                      np.float32).reshape(n2, n1)
@@ -355,10 +461,13 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
         out_shape = [slices]                                    # det
         if emit_mag:
             out_shape.append(slices)                            # mag
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))  # nf
         out_specs = [vmem()] * len(out_shape)
+        # Scalar output: SMEM (Mosaic rejects scalar stores to VMEM).
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))  # nf
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        n_rot = max(cfar.win_doppler, 2 * peak_group_radius + 1)
         scratch = [pltpu.VMEM(
-            (cfar.win_doppler, n2, n1 + 2 * _DET_PAD, nd), jnp.float32)]
+            (n_rot, n2, n1 + 2 * _DET_PAD, nd), jnp.float32)]
     elif cfar is not None:
         out_shape = [slices, jax.ShapeDtypeStruct((n1, nd), jnp.int32)]
         out_specs = [vmem(), vmem()]
@@ -368,7 +477,8 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
     out = pl.pallas_call(
         functools.partial(_kernel, n1=n1, n2=n2, c2r=c2r, c2i=c2i,
                           exact_mag=exact_mag, cfar=cfar, detect=detect,
-                          emit_mag=emit_mag),
+                          emit_mag=emit_mag,
+                          peak_radius=peak_group_radius),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

@@ -105,19 +105,25 @@ def _block_params():
                                                 scale_mode="block"))
 
 
-def test_frontend_detect_bitexact_vs_standalone_kernel():
+@pytest.mark.parametrize("scale_mode", ["block", "cell"])
+def test_frontend_detect_bitexact_vs_standalone_kernel(scale_mode):
     """detect=True det map == cfar_2d_pallas_detect on the kernel's own
-    mag/scale outputs (same q_min counting formulation, same wrap edges)."""
+    mag/scale outputs (same q_min counting formulation, same wrap edges) —
+    for both the block-granular and the reference-exact per-cell scale."""
     from fmcw_tpu.ops.cfar_pallas import cfar_2d_pallas_detect
 
-    p = _block_params()
+    p = _block_params() if scale_mode == "block" else RadarParams()
     iq = pl.complex_to_iq(reference.two_target_frame(p))
     for so in (0, 6):
         det_s, mag, nf = rdm_frontend(
             jnp.asarray(iq), jnp.asarray(False), interpret=True, cfar=p.cfar,
             detect=True, scale_override=jnp.asarray(so, jnp.int32))
-        mag2, scale = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
-                                   interpret=True, cfar=p.cfar)
+        if scale_mode == "block":
+            mag2, scale = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
+                                       interpret=True, cfar=p.cfar)
+        else:
+            mag2, scale = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
+                                       interpret=True), None
         assert np.array_equal(np.asarray(mag), np.asarray(mag2))
         want, _ = cfar_2d_pallas_detect(mag2, jnp.asarray(so, jnp.int32),
                                         cfar=p.cfar, interpret=True,
@@ -151,8 +157,9 @@ def test_topk_detections_sliced_matches_deinterleaved():
     assert sa == sb
 
 
-def test_pipeline_fused_detect_matches_unfused():
-    p = _block_params()
+@pytest.mark.parametrize("scale_mode", ["block", "cell"])
+def test_pipeline_fused_detect_matches_unfused(scale_mode):
+    p = _block_params() if scale_mode == "block" else RadarParams()
     iq = pl.complex_to_iq(reference.two_target_frame(p))
     fused = pl.make_processor(p, mode="float32", include_maps=True,
                               frontend="pallas", fuse_detect=True)
@@ -168,6 +175,60 @@ def test_pipeline_fused_detect_matches_unfused():
                      b["doppler_bin"][b["valid"]].tolist()))
         assert da == db
         assert np.array_equal(a["det_map"], b["det_map"])
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_peak_group_epilogue_ties_match_xla(radius):
+    """Drive _peak_group_epilogue directly (tiny pallas_call harness) on
+    integer-valued det slices — dense ties exercise the id tie-break and the
+    wrap seams — and compare with ops/cfar.peak_group on the de-interleaved
+    map."""
+    from jax.experimental import pallas as plx
+    from jax.experimental.pallas import tpu as pltpu
+    from fmcw_tpu.ops import cfar as C
+    from fmcw_tpu.ops.frontend_pallas import (_peak_group_epilogue, _DET_PAD)
+
+    n2, n1, D = 4, 16, 128
+    rng = np.random.default_rng(radius)
+    det_s = np.where(rng.random((n2, n1, D)) < 0.25,
+                     rng.integers(1, 4, (n2, n1, D)), 0).astype(np.float32)
+
+    def harness(det_in_ref, det_ref, rot_ref):
+        dets = [det_in_ref[k2] for k2 in range(n2)]
+        _peak_group_epilogue(dets, det_ref, rot_ref, n2=n2, radius=radius)
+
+    got = plx.pallas_call(
+        harness,
+        out_shape=jax.ShapeDtypeStruct((n2, n1, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM(
+            (2 * radius + 1, n2, n1 + 2 * _DET_PAD, D), jnp.float32)],
+        interpret=True,
+    )(jnp.asarray(det_s))
+    det_map = np.swapaxes(det_s, 0, 1).reshape(n2 * n1, D)
+    want = np.asarray(C.peak_group(jnp.asarray(det_map), radius=radius))
+    got_map = np.swapaxes(np.asarray(got), 0, 1).reshape(n2 * n1, D)
+    assert (want > 0).sum() > 10          # the scenario is non-trivial
+    assert np.array_equal(got_map, want)
+
+
+def test_pipeline_fused_peak_group_matches_unfused():
+    p = _block_params()
+    iq = pl.complex_to_iq(reference.two_target_frame(p))
+    fused = pl.make_processor(p, mode="float32", include_maps=True,
+                              frontend="pallas", peak_group_radius=2,
+                              fuse_detect=True)
+    plain = pl.make_processor(p, mode="float32", include_maps=True,
+                              frontend="pallas", peak_group_radius=2,
+                              fuse_detect=False)
+    a = jax.tree.map(np.asarray, fused(iq))
+    b = jax.tree.map(np.asarray, plain(iq))
+    assert a["n_dets"] == b["n_dets"] > 0
+    assert np.array_equal(a["det_map"], b["det_map"])
+    da = set(zip(a["range_bin"][a["valid"]].tolist(),
+                 a["doppler_bin"][a["valid"]].tolist()))
+    db = set(zip(b["range_bin"][b["valid"]].tolist(),
+                 b["doppler_bin"][b["valid"]].tolist()))
+    assert da == db
 
 
 def test_pipeline_frontend_pallas_batch_vmap():
