@@ -87,22 +87,23 @@ def main():
         ("pallas-cfar/matmul-HIGH", p, dict(fft_method="matmul",
                                             precision=jax.lax.Precision.HIGH,
                                             cfar_method="auto")),
-        # Clutter-map (block-granular) adaptive scale + two-stage Cooley-
-        # Tukey FFT: the detection kernel runs only the counting pass;
-        # parity-gated against the per-cell config's detections at runtime
-        # below.
-        ("pallas-cfar-blockscale/ct-HIGH", p_block,
-         dict(fft_method="ct", precision=jax.lax.Precision.HIGH,
+        # Fused Pallas front-end with the reference-exact per-cell adaptive
+        # scale: iq -> detections in ONE VMEM-resident kernel.
+        ("pallas-frontend+fused-detect-percell/HIGH", p,
+         dict(frontend="pallas", precision=jax.lax.Precision.HIGH,
               cfar_method="auto")),
-        # Fused Pallas front-end: iq -> detections in ONE VMEM-resident
-        # kernel (block scale + CFAR detect run in-kernel; the magnitude
-        # map never touches HBM with include_maps=False).
+        # Same fused kernel with the clutter-map (block-granular) adaptive
+        # scale (design_notes §8) — the fastest configuration; parity-gated
+        # against the per-cell config's detections at runtime below.
         ("pallas-frontend+fused-detect/HIGH", p_block,
          dict(frontend="pallas", precision=jax.lax.Precision.HIGH,
               cfar_method="auto")),
     ]
     if "--sweep" in sys.argv:
         configs += [
+            ("pallas-cfar-blockscale/ct-HIGH", p_block,
+             dict(fft_method="ct", precision=jax.lax.Precision.HIGH,
+                  cfar_method="auto")),
             # A/B: same front-end kernel but CFAR as a standalone dispatch
             # (mag map round-trips HBM).
             ("pallas-frontend-unfused/HIGH", p_block,
