@@ -85,6 +85,7 @@ def main():
     results = {}
     configs = [
         ("pallas-cfar/matmul-HIGH", p, dict(fft_method="matmul",
+                                            frontend="xla",
                                             precision=jax.lax.Precision.HIGH,
                                             cfar_method="auto")),
         # Fused Pallas front-end with the reference-exact per-cell adaptive

@@ -51,7 +51,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                    cfar_rank_bits: int | None = 16,
                    include_maps: bool = True,
                    include_debug: bool = False,
-                   frontend: str = "xla",
+                   frontend: str = "auto",
                    fuse_detect: bool = True) -> Callable:
     """Build the jitted single-frame processor.
 
@@ -70,6 +70,11 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
     """
     p = params or RadarParams()
     max_dets = p.tracker.max_dets
+    if frontend == "auto":
+        # Production default: the fused Pallas front-end on real TPUs; the
+        # XLA stage chain elsewhere (the Pallas interpreter is for tests,
+        # not throughput).
+        frontend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     # In-kernel clutter-map scale: the fused front-end can emit the block
     # scale from its VMEM-resident mag slices when the block grid lines up
