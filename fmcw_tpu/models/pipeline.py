@@ -40,6 +40,23 @@ def complex_to_iq(frame: np.ndarray) -> np.ndarray:
     return np.stack([z.real, z.imag], axis=-1).astype(np.int16)
 
 
+def kernel_scale_supported(p: RadarParams) -> bool:
+    """Can the fused front-end kernel emit the clutter-map (block) scale?
+    (Block grid must line up with its n2-slice layout; wrap edges.)"""
+    return (p.cfar.scale_mode == "block" and p.cfar.variant == "os"
+            and p.cfar.edge_mode == "wrap" and p.n_range > 128
+            and p.cfar.scale_block == p.n_range // 128
+            and p.n_doppler % p.cfar.scale_block == 0)
+
+
+def kernel_percell_supported(p: RadarParams) -> bool:
+    """Can the fused front-end kernel run the reference-exact per-cell
+    adaptive-scale CFAR in its detect epilogue?"""
+    return (p.cfar.scale_mode == "cell" and p.cfar.variant == "os"
+            and p.cfar.edge_mode == "wrap" and p.n_range > 128
+            and p.cfar.halo_range <= 8 * (p.n_range // 128))
+
+
 def make_processor(params: RadarParams | None = None, mode: str = "float32",
                    fft_method: str = "matmul",
                    precision=jax.lax.Precision.HIGHEST,
@@ -79,21 +96,14 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
     # In-kernel clutter-map scale: the fused front-end can emit the block
     # scale from its VMEM-resident mag slices when the block grid lines up
     # with its slice layout (scale_block == n_range/128, wrap edges).
-    kernel_scale = (frontend == "pallas" and p.cfar.scale_mode == "block"
-                    and p.cfar.variant == "os" and p.cfar.edge_mode == "wrap"
-                    and p.n_range > 128
-                    and p.cfar.scale_block == p.n_range // 128
-                    and p.n_doppler % p.cfar.scale_block == 0)
+    kernel_scale = frontend == "pallas" and kernel_scale_supported(p)
     # Fully fused path: CFAR detection (and peak grouping) also runs inside
     # the front-end kernel (the mag map never leaves VMEM) and top-K
     # extraction consumes the kernel's sliced det layout directly.  Works
     # for both the block-granular scale (kernel_scale grid) and the
     # reference-exact per-cell scale.  ``fuse_detect=False`` keeps the
     # standalone kernels (A/B benchmarking, debug taps).
-    kernel_percell = (frontend == "pallas" and p.cfar.scale_mode == "cell"
-                      and p.cfar.variant == "os"
-                      and p.cfar.edge_mode == "wrap" and p.n_range > 128
-                      and p.cfar.halo_range <= 8 * (p.n_range // 128))
+    kernel_percell = frontend == "pallas" and kernel_percell_supported(p)
     kernel_detect = (fuse_detect and (kernel_scale or kernel_percell)
                      and mode == "float32"
                      and peak_group_radius <= 8 and not include_debug
@@ -164,13 +174,14 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
 
     def fused_path(iq, mti_bypass, scale_override):
         from ..ops.frontend_pallas import rdm_frontend
-        det_s, mag, nonfinite = rdm_frontend(
+        det_s, mag, nonfinite, row_max, n_dets = rdm_frontend(
             iq, mti_bypass, notch_mode=p.notch_mode, transient=mti_transient,
             exact_mag=magnitude_exact,
             interpret=jax.default_backend() != "tpu", cfar=p.cfar,
             detect=True, scale_override=scale_override,
             emit_mag=include_maps, peak_group_radius=peak_group_radius)
-        out = DET.topk_detections_sliced(det_s, max_dets=max_dets)
+        out = DET.topk_detections_sliced(det_s, max_dets=max_dets,
+                                         row_max=row_max, n_dets=n_dets)
         out["saturation_count"] = jnp.int32(0)
         out["nonfinite_count"] = nonfinite
         if include_maps:

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("max_dets",))
-def topk_detections(det_map: jnp.ndarray, max_dets: int = 64):
+def topk_detections(det_map: jnp.ndarray, max_dets: int = 64,
+                    row_max: jnp.ndarray | None = None,
+                    n_dets: jnp.ndarray | None = None):
     """Extract the ``max_dets`` strongest nonzero cells of a (R, D) detection
     map.  Returns dict with range_bin, doppler_bin (int32), mag (map dtype),
     valid (bool) — all length ``max_dets`` — and n_dets (total nonzero count,
@@ -34,10 +36,16 @@ def topk_detections(det_map: jnp.ndarray, max_dets: int = 64):
     least one consumed cell, so the tie-row slots never run out).
     Re-sorting the selected rows ascending makes the gathered layout
     (row, col)-lexicographic, so the final top_k's tie order matches the
-    flat one exactly."""
+    flat one exactly.
+
+    ``row_max`` / ``n_dets``: optional precomputed per-row maxes (R,) and
+    nonzero count — the fused front-end kernel emits both as epilogues
+    (ops/frontend_pallas.rdm_frontend detect=True) so the extraction never
+    reads the full map beyond the ``max_dets`` gathered rows."""
     R, D = det_map.shape
     if R * D > 16384 and R >= max_dets:
-        row_max = jnp.max(det_map, axis=1)
+        if row_max is None:
+            row_max = jnp.max(det_map, axis=1)
         _, rows = jax.lax.top_k(row_max, max_dets)
         rows = jnp.sort(rows)                             # ascending row ids
         sub = jnp.take(det_map, rows, axis=0)             # (max_dets, D)
@@ -49,17 +57,21 @@ def topk_detections(det_map: jnp.ndarray, max_dets: int = 64):
         range_bin = (idx // D).astype(jnp.int32)
         doppler_bin = (idx % D).astype(jnp.int32)
     valid = vals > 0
+    if n_dets is None:
+        n_dets = jnp.sum(det_map > 0)
     return {
         "range_bin": range_bin,
         "doppler_bin": doppler_bin,
         "mag": vals,
         "valid": valid,
-        "n_dets": jnp.sum(det_map > 0).astype(jnp.int32),
+        "n_dets": n_dets.astype(jnp.int32),
     }
 
 
 @functools.partial(jax.jit, static_argnames=("max_dets",))
-def topk_detections_sliced(det_slices: jnp.ndarray, max_dets: int = 64):
+def topk_detections_sliced(det_slices: jnp.ndarray, max_dets: int = 64,
+                           row_max: jnp.ndarray | None = None,
+                           n_dets: jnp.ndarray | None = None):
     """topk_detections over the fused front-end's sliced detection layout
     (ops/frontend_pallas.rdm_frontend(detect=True)): det_slices is
     (n2, n1, n_doppler) with true map row n2*q + k2 stored at [k2, q].
@@ -70,7 +82,8 @@ def topk_detections_sliced(det_slices: jnp.ndarray, max_dets: int = 64):
     order (the set, not the order, is the reference's contract —
     rtl/src/radar_core.vhd:413-418 emits stream order anyway)."""
     n2, n1, D = det_slices.shape
-    out = topk_detections(det_slices.reshape(n2 * n1, D), max_dets=max_dets)
+    out = topk_detections(det_slices.reshape(n2 * n1, D), max_dets=max_dets,
+                          row_max=row_max, n_dets=n_dets)
     r = out["range_bin"]
     out["range_bin"] = (r % n1) * n2 + r // n1
     return out

@@ -291,14 +291,16 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
             mrh_ref, mrl_ref, mih_ref, mil_ref, *rest,
             n1: int, n2: int, c2r, c2i, exact_mag: bool, cfar=None,
             detect: bool = False, emit_mag: bool = True,
-            peak_radius: int = 0):
+            peak_radius: int = 0, emit_topk: bool = True):
     rest = list(rest)
     if detect:
-        # Ref order: so (SMEM input) | det, [mag], nf (outputs) | rot scratch.
+        # Ref order: so (SMEM input) | det, [mag], stats, [rmax] (outputs) |
+        # rot scratch.
         so_ref = rest.pop(0)
         det_ref = rest.pop(0)
         mag_ref = rest.pop(0) if emit_mag else None
-        nf_ref = rest.pop(0)
+        stats_ref = rest.pop(0)
+        rmax_ref = rest.pop(0) if emit_topk else None
         rot_ref = rest.pop(0)
     else:
         mag_ref = rest.pop(0)
@@ -367,7 +369,18 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
         nf = jnp.zeros((), jnp.int32)
         for m in mags:
             nf = nf + jnp.sum((~jnp.isfinite(m)).astype(jnp.int32))
-        nf_ref[0, 0] = nf
+        # Top-K candidate reduction + detection count as kernel epilogues:
+        # per-row det maxes (the row-select stage of ops/detect) and the
+        # total nonzero count come out of VMEM directly, so XLA never reads
+        # the full det map again (only the 64 winning rows are gathered).
+        ndet = jnp.zeros((), jnp.int32)
+        if emit_topk:
+            for k2 in range(n2):
+                d = det_ref[k2]
+                rmax_ref[k2] = jnp.max(d, axis=1, keepdims=True)
+                ndet = ndet + jnp.sum((d > 0.0).astype(jnp.int32))
+        stats_ref[0, 0] = nf
+        stats_ref[0, 1] = ndet
     elif cfar is not None:
         scale_ref[0][...] = _block_scale(mags, n2=n2, cfar=cfar)
 
@@ -376,13 +389,14 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
     jax.jit,
     static_argnames=("notch_mode", "transient", "coef_width", "exact_mag",
                      "interpret", "cfar", "detect", "emit_mag",
-                     "peak_group_radius"))
+                     "peak_group_radius", "emit_topk"))
 def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
                  transient: str = "zero", coef_width: int = 16,
                  exact_mag: bool = False,
                  interpret: bool = False, cfar=None,
                  detect: bool = False, scale_override=0,
-                 emit_mag: bool = True, peak_group_radius: int = 0):
+                 emit_mag: bool = True, peak_group_radius: int = 0,
+                 emit_topk: bool = True):
     """Fused front-end for one frame: iq int16 (nd, nr, 2) -> magnitude
     f32 (nr, nd), nr a multiple-of-128 with nr/128 <= 16 (or nr <= 128).
     Batch by vmapping (the batch dim becomes the Pallas grid, as with the
@@ -397,7 +411,10 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
     reference-exact scale_mode='cell' are supported): additionally
     run the whole CFAR detection pass in-kernel (_detect_epilogue) — the
     magnitude map never leaves VMEM.  Returns
-    ``(det_slices f32 (n2, n1, nd), mag (nr, nd) | None, nonfinite int32)``
+    ``(det_slices f32 (n2, n1, nd), mag (nr, nd) | None, nonfinite int32,
+    row_max f32 (n2*n1,), n_dets int32)`` — row_max (per-det-row maxes in
+    sliced-row order) and n_dets are computed as kernel epilogues so the
+    top-K extraction never re-reads the full det map —
     where det_slices row [k2, q] is true map row n2*q + k2
     (ops/detect.topk_detections_sliced consumes it directly; de-interleave
     with swapaxes+reshape for a (nr, nd) det map).  ``emit_mag=False`` skips
@@ -462,9 +479,12 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
         if emit_mag:
             out_shape.append(slices)                            # mag
         out_specs = [vmem()] * len(out_shape)
-        # Scalar output: SMEM (Mosaic rejects scalar stores to VMEM).
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))  # nf
+        # Scalar outputs: SMEM (Mosaic rejects scalar stores to VMEM).
+        out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.int32))  # nf, ndet
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        if emit_topk:
+            out_shape.append(jax.ShapeDtypeStruct((n2, n1, 1), jnp.float32))
+            out_specs.append(vmem())                            # row maxes
         n_rot = max(cfar.win_doppler, 2 * peak_group_radius + 1)
         scratch = [pltpu.VMEM(
             (n_rot, n2, n1 + 2 * _DET_PAD, nd), jnp.float32)]
@@ -478,7 +498,8 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
         functools.partial(_kernel, n1=n1, n2=n2, c2r=c2r, c2i=c2i,
                           exact_mag=exact_mag, cfar=cfar, detect=detect,
                           emit_mag=emit_mag,
-                          peak_radius=peak_group_radius),
+                          peak_radius=peak_group_radius,
+                          emit_topk=emit_topk),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -490,8 +511,13 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
         det_s = out[0]
         mag = (jnp.swapaxes(out[1], 0, 1).reshape(nr, nd) if emit_mag
                else None)
-        nf = out[-1][0, 0]
-        return det_s, mag, nf
+        if not emit_topk:
+            return det_s, mag, out[-1][0, 0], None, None
+        stats = out[-2]
+        # Row maxes in sliced-row order (id k2*n1 + q) — feeds the
+        # row-select stage of ops/detect.topk_detections_sliced directly.
+        rmax = out[-1].reshape(n2 * n1)
+        return det_s, mag, stats[0, 0], rmax, stats[0, 1]
     if cfar is not None:
         mag_s, scale_plane = out
         mag = jnp.swapaxes(mag_s, 0, 1).reshape(nr, nd)

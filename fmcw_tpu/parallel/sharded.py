@@ -54,7 +54,8 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
                            magnitude_exact: bool = False,
                            cfar_method: str = "auto",
                            cfar_rank_bits: int | None = 16,
-                           include_maps: bool = False):
+                           include_maps: bool = False,
+                           frontend: str = "auto"):
     """Build the sharded frame-batch processor.
 
     Returned callable: ``fn(iq, mti_bypass=False, scale_override=0) -> dict``
@@ -62,6 +63,14 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
     axis, n_doppler and n_range divisible by the sp axis.  Detection outputs
     are replicated; map outputs (include_maps) come back range-sharded over sp
     and batch-sharded over dp.
+
+    ``frontend="auto"``: when the mesh is pure frame-DP (sp == 1, so each
+    chip holds whole frames) and the single-chip fused-detect conditions
+    hold, each shard runs the fused Pallas front-end+detect kernel
+    (ops/frontend_pallas.py) instead of the XLA stage chain — the
+    max-throughput multi-chip configuration (per-chip speed matches the
+    single-chip fused bench; dp scales it).  ``frontend="xla"`` forces the
+    stage chain on every mesh shape.
     """
     p = params or RadarParams()
     dp = mesh.shape["dp"]
@@ -84,9 +93,49 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
             f"({nr_local} = n_range/sp) divisible by "
             f"scale_block={p.cfar.scale_block}")
 
+    from ..models import pipeline as PL
+    explicit_pallas = frontend == "pallas"
+    if frontend == "auto":
+        # Same resolution as models/pipeline.py: the fused Pallas kernel on
+        # real TPUs; the XLA chain elsewhere (interpret mode is for tests).
+        frontend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    use_fused = (frontend == "pallas" and sp == 1
+                 and mode == "float32" and peak_group_radius <= 8
+                 and cfar_method in ("auto", "pallas")
+                 and (PL.kernel_scale_supported(p)
+                      or PL.kernel_percell_supported(p)))
+    if explicit_pallas and not use_fused:
+        raise ValueError(
+            "frontend='pallas' needs a pure frame-DP mesh (sp == 1), "
+            "mode='float32', and fused-detect-compatible CfarParams")
+
+    def fused_frame_fn(iq, mti_bypass, scale_override):
+        """Pure frame-DP body (sp == 1: whole frames per chip): the fused
+        Pallas front-end+detect kernel, same as the single-chip production
+        path (models/pipeline.py fused_path) — per-chip throughput matches
+        the single-chip fused bench and dp scales it."""
+        from ..ops.frontend_pallas import rdm_frontend
+        det_s, mag, nonfinite, row_max, nd_cnt = rdm_frontend(
+            iq, mti_bypass, notch_mode=p.notch_mode, transient=mti_transient,
+            exact_mag=magnitude_exact,
+            interpret=jax.default_backend() != "tpu", cfar=p.cfar,
+            detect=True, scale_override=scale_override,
+            emit_mag=include_maps, peak_group_radius=peak_group_radius)
+        out = DET.topk_detections_sliced(det_s, max_dets=max_dets,
+                                         row_max=row_max, n_dets=nd_cnt)
+        out["saturation_count"] = jnp.int32(0)
+        out["nonfinite_count"] = nonfinite
+        if include_maps:
+            out["mag_map"] = mag
+            out["det_map"] = jnp.swapaxes(det_s, 0, 1).reshape(
+                p.n_range, p.n_doppler)
+        return out
+
     def frame_fn(iq, mti_bypass, scale_override):
         """Per-(dp-shard, sp-shard) single-frame body.  iq local shape:
         (n_doppler/sp, n_range, 2)."""
+        if use_fused:
+            return fused_frame_fn(iq, mti_bypass, scale_override)
         sp_idx = jax.lax.axis_index("sp")
 
         if mode == "float32":
@@ -108,6 +157,8 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
                                      precision=precision)
             mag = M.magnitude_float(re, im, exact=magnitude_exact)
             sat = jnp.int32(0)
+            nonfinite = jax.lax.psum(
+                jnp.sum(~jnp.isfinite(mag)).astype(jnp.int32), "sp")
         elif mode == "fixed":
             i_v = iq[..., 0].astype(jnp.int32)
             q_v = iq[..., 1].astype(jnp.int32)
@@ -133,6 +184,7 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
             re, im = F.bfp_quantize(re, im, axis=1)
             mag = M.magnitude_fixed(re.astype(jnp.int32), im.astype(jnp.int32))
             sat = jax.lax.psum(s1 + s2, "sp").astype(jnp.int32)
+            nonfinite = jnp.int32(0)
         else:
             raise ValueError(mode)
 
@@ -179,6 +231,7 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
             "valid": vals > 0,
             "n_dets": jax.lax.psum(local["n_dets"], "sp"),
             "saturation_count": sat,
+            "nonfinite_count": nonfinite,
         }
         if include_maps:
             out["mag_map"] = mag
@@ -194,6 +247,7 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
     out_specs = {
         "range_bin": rep_spec, "doppler_bin": rep_spec, "mag": rep_spec,
         "valid": rep_spec, "n_dets": rep_spec, "saturation_count": rep_spec,
+        "nonfinite_count": rep_spec,
     }
     if include_maps:
         out_specs["mag_map"] = P("dp", "sp", None)

@@ -115,7 +115,7 @@ def test_frontend_detect_bitexact_vs_standalone_kernel(scale_mode):
     p = _block_params() if scale_mode == "block" else RadarParams()
     iq = pl.complex_to_iq(reference.two_target_frame(p))
     for so in (0, 6):
-        det_s, mag, nf = rdm_frontend(
+        det_s, mag, nf, row_max, n_dets = rdm_frontend(
             jnp.asarray(iq), jnp.asarray(False), interpret=True, cfar=p.cfar,
             detect=True, scale_override=jnp.asarray(so, jnp.int32))
         if scale_mode == "block":
@@ -132,6 +132,11 @@ def test_frontend_detect_bitexact_vs_standalone_kernel(scale_mode):
                                                            p.n_doppler)
         assert np.array_equal(got, np.asarray(want))
         assert int(nf) == 0
+        # Top-K epilogue outputs: row maxes in sliced-row order + count.
+        ds = np.asarray(det_s)
+        assert np.array_equal(np.asarray(row_max),
+                              ds.reshape(-1, p.n_doppler).max(axis=1))
+        assert int(n_dets) == int((ds > 0).sum())
 
 
 def test_topk_detections_sliced_matches_deinterleaved():

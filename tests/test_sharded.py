@@ -87,3 +87,36 @@ def test_shape_validation(batch):
     with pytest.raises(ValueError, match="must divide"):
         sh.make_sharded_processor(M.make_mesh(dp=1, sp=8),
                                   Q.replace(n_doppler=12))
+
+
+def test_sharded_fused_frontend_dp_only():
+    """Pure frame-DP mesh (sp=1) with frontend='pallas': every chip runs the
+    fused front-end+detect kernel; detections bit-identical to the
+    single-chip fused path (the max-throughput multi-chip configuration)."""
+    import dataclasses
+    from fmcw_tpu import RadarParams
+
+    p = RadarParams(n_range=256, n_doppler=32)
+    p = p.replace(cfar=dataclasses.replace(p.cfar, scale_mode="block",
+                                           scale_block=2))
+    frames = [ref.two_target_frame(p, seed=s) for s in range(8)]
+    batch = np.stack([pl.complex_to_iq(f) for f in frames])
+    mesh = M.make_mesh(dp=8, sp=1)
+    proc = sh.make_sharded_processor(mesh, p, mode="float32",
+                                     frontend="pallas")
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = pl.make_batch_processor(p, mode="float32", include_maps=False,
+                                     frontend="pallas")
+    want = jax.tree.map(np.asarray, single(batch))
+    assert np.array_equal(out["n_dets"], want["n_dets"])
+    assert np.array_equal(out["valid"], want["valid"])
+    v = want["valid"]
+    assert np.array_equal(out["range_bin"][v], want["range_bin"][v])
+    assert np.array_equal(out["doppler_bin"][v], want["doppler_bin"][v])
+    assert np.array_equal(out["mag"][v], want["mag"][v])
+    assert out["nonfinite_count"].sum() == 0
+    # frontend='pallas' is invalid on an sp-sharded mesh (the kernel needs
+    # whole frames per chip).
+    with pytest.raises(ValueError, match="frame-DP"):
+        sh.make_sharded_processor(M.make_mesh(dp=1, sp=8), p,
+                                  mode="float32", frontend="pallas")
