@@ -101,10 +101,13 @@ def main():
               cfar_method="auto")),
     ]
     if "--sweep" in sys.argv:
+        # The XLA-front-end configs pin frontend="xla": under the "auto"
+        # default they would silently resolve to the fused Pallas kernel on
+        # TPU and mislabel what they measure.
         configs += [
             ("pallas-cfar-blockscale/ct-HIGH", p_block,
              dict(fft_method="ct", precision=jax.lax.Precision.HIGH,
-                  cfar_method="auto")),
+                  frontend="xla", cfar_method="auto")),
             # A/B: same front-end kernel but CFAR as a standalone dispatch
             # (mag map round-trips HBM).
             ("pallas-frontend-unfused/HIGH", p_block,
@@ -112,12 +115,14 @@ def main():
                   cfar_method="auto", fuse_detect=False)),
             ("xla-cfar/matmul-HIGH", p, dict(fft_method="matmul",
                                              precision=jax.lax.Precision.HIGH,
+                                             frontend="xla",
                                              cfar_method="xla")),
             ("pallas-cfar/matmul-HIGHEST", p, dict(
                 fft_method="matmul", precision=jax.lax.Precision.HIGHEST,
-                cfar_method="auto")),
+                frontend="xla", cfar_method="auto")),
             ("pallas-cfar/xla-fft", p, dict(fft_method="xla",
                                             precision=jax.lax.Precision.HIGH,
+                                            frontend="xla",
                                             cfar_method="auto")),
         ]
     ref_out = None

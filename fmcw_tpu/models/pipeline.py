@@ -40,10 +40,19 @@ def complex_to_iq(frame: np.ndarray) -> np.ndarray:
     return np.stack([z.real, z.imag], axis=-1).astype(np.int16)
 
 
+def frontend_kernel_supported(p: RadarParams) -> bool:
+    """Can ops/frontend_pallas.rdm_frontend process this frame shape at all?
+    (Its Cooley-Tukey slice layout needs n_range = n2*128 with n2 <= 16,
+    or a single 128-sample slice.)"""
+    return p.n_range == 128 or (p.n_range % 128 == 0
+                                and p.n_range // 128 <= 16)
+
+
 def kernel_scale_supported(p: RadarParams) -> bool:
     """Can the fused front-end kernel emit the clutter-map (block) scale?
     (Block grid must line up with its n2-slice layout; wrap edges.)"""
-    return (p.cfar.scale_mode == "block" and p.cfar.variant == "os"
+    return (frontend_kernel_supported(p)
+            and p.cfar.scale_mode == "block" and p.cfar.variant == "os"
             and p.cfar.edge_mode == "wrap" and p.n_range > 128
             and p.cfar.scale_block == p.n_range // 128
             and p.n_doppler % p.cfar.scale_block == 0)
@@ -52,9 +61,50 @@ def kernel_scale_supported(p: RadarParams) -> bool:
 def kernel_percell_supported(p: RadarParams) -> bool:
     """Can the fused front-end kernel run the reference-exact per-cell
     adaptive-scale CFAR in its detect epilogue?"""
-    return (p.cfar.scale_mode == "cell" and p.cfar.variant == "os"
+    return (frontend_kernel_supported(p)
+            and p.cfar.scale_mode == "cell" and p.cfar.variant == "os"
             and p.cfar.edge_mode == "wrap" and p.n_range > 128
             and p.cfar.halo_range <= 8 * (p.n_range // 128))
+
+
+def fused_detect_supported(p: RadarParams, mode: str = "float32",
+                           peak_group_radius: int = 0,
+                           cfar_method: str = "auto",
+                           include_debug: bool = False) -> bool:
+    """Can the WHOLE frame (front-end + CFAR decision + peak grouping) run
+    as the single fused kernel?  Shared gate for the single-chip fused path
+    and the pure-frame-DP sharded path (parallel/sharded.py)."""
+    return ((kernel_scale_supported(p) or kernel_percell_supported(p))
+            and mode == "float32" and peak_group_radius <= 8
+            and not include_debug and cfar_method in ("auto", "pallas"))
+
+
+def fused_detect_frame(p: RadarParams, iq, mti_bypass, scale_override, *,
+                       max_dets: int, mti_transient: str = "zero",
+                       magnitude_exact: bool = False,
+                       include_maps: bool = False,
+                       peak_group_radius: int = 0):
+    """Fully-fused single-frame step (gate: fused_detect_supported): the
+    whole chain — front-end, CFAR decision, peak grouping, top-K candidate
+    reduction — in ONE Pallas kernel + the 64-row top-K gather.  Shared by
+    the single-chip pipeline and the pure-frame-DP sharded path
+    (parallel/sharded.py)."""
+    from ..ops.frontend_pallas import rdm_frontend
+    det_s, mag, nonfinite, row_max, n_dets = rdm_frontend(
+        iq, mti_bypass, notch_mode=p.notch_mode, transient=mti_transient,
+        exact_mag=magnitude_exact,
+        interpret=jax.default_backend() != "tpu", cfar=p.cfar,
+        detect=True, scale_override=scale_override,
+        emit_mag=include_maps, peak_group_radius=peak_group_radius)
+    out = DET.topk_detections_sliced(det_s, max_dets=max_dets,
+                                     row_max=row_max, n_dets=n_dets)
+    out["saturation_count"] = jnp.int32(0)
+    out["nonfinite_count"] = nonfinite
+    if include_maps:
+        out["mag_map"] = mag
+        out["det_map"] = jnp.swapaxes(det_s, 0, 1).reshape(
+            p.n_range, p.n_doppler)
+    return out
 
 
 def make_processor(params: RadarParams | None = None, mode: str = "float32",
@@ -88,10 +138,21 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
     p = params or RadarParams()
     max_dets = p.tracker.max_dets
     if frontend == "auto":
-        # Production default: the fused Pallas front-end on real TPUs; the
-        # XLA stage chain elsewhere (the Pallas interpreter is for tests,
-        # not throughput).
-        frontend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Production default: the fused Pallas front-end on real TPUs when
+        # the frame shape fits its slice layout and no non-default FFT
+        # formulation was requested; the XLA stage chain elsewhere (the
+        # Pallas interpreter is for tests, not throughput).  NOTE the fused
+        # kernel computes with manual bf16x3 (== XLA Precision.HIGH
+        # numerics); pass frontend="xla" to make ``precision``/
+        # ``fft_method`` binding (e.g. exact HIGHEST-precision matmuls).
+        frontend = ("pallas" if (jax.default_backend() == "tpu"
+                                 and frontend_kernel_supported(p)
+                                 and fft_method == "matmul")
+                    else "xla")
+    elif frontend == "pallas" and not frontend_kernel_supported(p):
+        raise ValueError(
+            f"frontend='pallas' needs n_range a multiple of 128 with "
+            f"n_range/128 <= 16; got n_range={p.n_range}")
 
     # In-kernel clutter-map scale: the fused front-end can emit the block
     # scale from its VMEM-resident mag slices when the block grid lines up
@@ -104,10 +165,10 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
     # reference-exact per-cell scale.  ``fuse_detect=False`` keeps the
     # standalone kernels (A/B benchmarking, debug taps).
     kernel_percell = frontend == "pallas" and kernel_percell_supported(p)
-    kernel_detect = (fuse_detect and (kernel_scale or kernel_percell)
-                     and mode == "float32"
-                     and peak_group_radius <= 8 and not include_debug
-                     and cfar_method in ("auto", "pallas"))
+    kernel_detect = (fuse_detect and frontend == "pallas"
+                     and fused_detect_supported(
+                         p, mode, peak_group_radius, cfar_method,
+                         include_debug))
 
     def float_path(iq, mti_bypass, scale_override):
         scale_map = None
@@ -172,27 +233,15 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
 
     path = {"float32": float_path, "fixed": fixed_path}[mode]
 
-    def fused_path(iq, mti_bypass, scale_override):
-        from ..ops.frontend_pallas import rdm_frontend
-        det_s, mag, nonfinite, row_max, n_dets = rdm_frontend(
-            iq, mti_bypass, notch_mode=p.notch_mode, transient=mti_transient,
-            exact_mag=magnitude_exact,
-            interpret=jax.default_backend() != "tpu", cfar=p.cfar,
-            detect=True, scale_override=scale_override,
-            emit_mag=include_maps, peak_group_radius=peak_group_radius)
-        out = DET.topk_detections_sliced(det_s, max_dets=max_dets,
-                                         row_max=row_max, n_dets=n_dets)
-        out["saturation_count"] = jnp.int32(0)
-        out["nonfinite_count"] = nonfinite
-        if include_maps:
-            out["mag_map"] = mag
-            out["det_map"] = jnp.swapaxes(det_s, 0, 1).reshape(mag.shape)
-        return out
-
     @jax.jit
     def _process(iq, mti_bypass, scale_override):
         if kernel_detect:
-            return fused_path(iq, mti_bypass, scale_override)
+            return fused_detect_frame(
+                p, iq, mti_bypass, scale_override, max_dets=max_dets,
+                mti_transient=mti_transient,
+                magnitude_exact=magnitude_exact,
+                include_maps=include_maps,
+                peak_group_radius=peak_group_radius)
         mag, det, threshold, scale, sat, nonfinite = path(
             iq, mti_bypass, scale_override)
         if peak_group_radius > 0:

@@ -196,18 +196,21 @@ def step(state: dict, det_range: jnp.ndarray, det_doppler: jnp.ndarray,
     return s, report
 
 
+@functools.partial(jax.jit, static_argnames=("tp",))
+def _run_scans(state, dr, dd, dm, dv, tp: TrackerParams):
+    def body(st, xs):
+        st2, rep = step(st, *xs, tp=tp)
+        return st2, rep
+    return jax.lax.scan(body, state, (dr, dd, dm, dv))
+
+
 def run_scans(det_range, det_doppler, det_mag, det_valid,
               tp: TrackerParams | None = None, state: dict | None = None):
     """Process a whole batch of scans on device: inputs are (n_scans, K)
-    arrays; returns (final_state, stacked reports) via lax.scan."""
+    arrays; returns (final_state, stacked reports) via lax.scan.  The jitted
+    scan is module-level (static ``tp``) so repeated calls — e.g. one per
+    ingest batch in a surveillance loop — reuse one compiled executable."""
     tp = tp or TrackerParams()
     state = state or init_state(tp)
-
-    @jax.jit
-    def run(state, dr, dd, dm, dv):
-        def body(st, xs):
-            st2, rep = step(st, *xs, tp=tp)
-            return st2, rep
-        return jax.lax.scan(body, state, (dr, dd, dm, dv))
-
-    return run(state, det_range, det_doppler, det_mag, det_valid)
+    return _run_scans(state, det_range, det_doppler, det_mag, det_valid,
+                      tp=tp)

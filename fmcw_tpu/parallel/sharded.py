@@ -71,6 +71,13 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
     max-throughput multi-chip configuration (per-chip speed matches the
     single-chip fused bench; dp scales it).  ``frontend="xla"`` forces the
     stage chain on every mesh shape.
+
+    Parity note: detection-set parity vs the single chip is exact when both
+    sides run the same front-end (the invariant the tests pin).  The fused
+    kernel's bf16x3 numerics differ from the XLA chain's in float ulps, so
+    comparing a fused single chip against an sp-sharded XLA mesh is
+    SNR-bound, not bit-exact; use matching ``frontend=`` (or mode="fixed",
+    which is bit-identical everywhere) for exact cross-checks.
     """
     p = params or RadarParams()
     dp = mesh.shape["dp"]
@@ -100,42 +107,29 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
         # real TPUs; the XLA chain elsewhere (interpret mode is for tests).
         frontend = "pallas" if jax.default_backend() == "tpu" else "xla"
     use_fused = (frontend == "pallas" and sp == 1
-                 and mode == "float32" and peak_group_radius <= 8
-                 and cfar_method in ("auto", "pallas")
-                 and (PL.kernel_scale_supported(p)
-                      or PL.kernel_percell_supported(p)))
+                 and PL.fused_detect_supported(p, mode, peak_group_radius,
+                                               cfar_method))
     if explicit_pallas and not use_fused:
         raise ValueError(
-            "frontend='pallas' needs a pure frame-DP mesh (sp == 1), "
-            "mode='float32', and fused-detect-compatible CfarParams")
-
-    def fused_frame_fn(iq, mti_bypass, scale_override):
-        """Pure frame-DP body (sp == 1: whole frames per chip): the fused
-        Pallas front-end+detect kernel, same as the single-chip production
-        path (models/pipeline.py fused_path) — per-chip throughput matches
-        the single-chip fused bench and dp scales it."""
-        from ..ops.frontend_pallas import rdm_frontend
-        det_s, mag, nonfinite, row_max, nd_cnt = rdm_frontend(
-            iq, mti_bypass, notch_mode=p.notch_mode, transient=mti_transient,
-            exact_mag=magnitude_exact,
-            interpret=jax.default_backend() != "tpu", cfar=p.cfar,
-            detect=True, scale_override=scale_override,
-            emit_mag=include_maps, peak_group_radius=peak_group_radius)
-        out = DET.topk_detections_sliced(det_s, max_dets=max_dets,
-                                         row_max=row_max, n_dets=nd_cnt)
-        out["saturation_count"] = jnp.int32(0)
-        out["nonfinite_count"] = nonfinite
-        if include_maps:
-            out["mag_map"] = mag
-            out["det_map"] = jnp.swapaxes(det_s, 0, 1).reshape(
-                p.n_range, p.n_doppler)
-        return out
+            "frontend='pallas' needs a pure frame-DP mesh (sp == 1, whole "
+            "frames per chip), mode='float32', peak_group_radius <= 8, "
+            "cfar_method in ('auto', 'pallas'), and fused-detect-compatible "
+            "CfarParams (OS variant, wrap edges, n_range = n2*128)")
 
     def frame_fn(iq, mti_bypass, scale_override):
         """Per-(dp-shard, sp-shard) single-frame body.  iq local shape:
         (n_doppler/sp, n_range, 2)."""
         if use_fused:
-            return fused_frame_fn(iq, mti_bypass, scale_override)
+            # Pure frame-DP (sp == 1: whole frames per chip): the same
+            # fully-fused kernel step as the single-chip production path —
+            # per-chip throughput matches the single-chip fused bench and
+            # dp scales it.
+            return PL.fused_detect_frame(
+                p, iq, mti_bypass, scale_override, max_dets=max_dets,
+                mti_transient=mti_transient,
+                magnitude_exact=magnitude_exact,
+                include_maps=include_maps,
+                peak_group_radius=peak_group_radius)
         sp_idx = jax.lax.axis_index("sp")
 
         if mode == "float32":

@@ -82,6 +82,7 @@ def main():
         state = jt.init_state(tp)
         stats = StreamStats()
         total_dets = 0
+        frame_base = 0                 # global frame index of this batch's 0
         t0 = time.perf_counter()
         for out in stream_batched(proc, iter(frames), batch_size=args.batch,
                                   depth=args.depth, stats=stats):
@@ -89,7 +90,10 @@ def main():
             o = {k: np.asarray(v[:n_valid]) for k, v in out.items()
                  if k != "batch_valid"}
             step = args.track_every
-            idx = np.arange(0, n_valid, step)
+            # 1-in-N of the global stream (stride phase carries across
+            # batch boundaries).
+            idx = np.arange((-frame_base) % step, n_valid, step)
+            frame_base += int(n_valid)
             import jax.numpy as jnp
             state_dev = {k: jnp.asarray(v) for k, v in state.items()}
             final, reps = jt.run_scans(
