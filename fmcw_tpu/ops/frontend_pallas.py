@@ -141,6 +141,44 @@ def _block_scale(mags, *, n2: int, cfar):
             jnp.int32)
 
 
+def _outer_fft_planes(xr_s, xi_s, n2: int):
+    """Radix-2 outer DFT over the n2 slice *planes* (each a (nd, n1) f32
+    pair): iterative DIT Cooley-Tukey with bit-reversed input, natural-order
+    output — identical to the direct outer DFT in exact arithmetic, ~8x
+    fewer elementwise plane-ops at n2 = 8 (~63 vs 512; trivial twiddles
+    w = 1 / w = -i cost no multiplies).  n2 must be a power of two."""
+    import math
+    nb = n2.bit_length() - 1
+    def rev(i):
+        r = 0
+        for b in range(nb):
+            if i >> b & 1:
+                r |= 1 << (nb - 1 - b)
+        return r
+    re = [xr_s[rev(j)] for j in range(n2)]
+    im = [xi_s[rev(j)] for j in range(n2)]
+    m = 2
+    while m <= n2:
+        half = m // 2
+        for start in range(0, n2, m):
+            for t in range(half):
+                i0, i1 = start + t, start + t + half
+                br, bi = re[i1], im[i1]
+                if t == 0:                        # w = 1
+                    tr, ti = br, bi
+                elif 4 * t == m:                  # w = -i
+                    tr, ti = bi, -br
+                else:
+                    ang = -2.0 * math.pi * t / m
+                    wr, wi = math.cos(ang), math.sin(ang)
+                    tr = br * wr - bi * wi
+                    ti = br * wi + bi * wr
+                re[i1], im[i1] = re[i0] - tr, im[i0] - ti
+                re[i0], im[i0] = re[i0] + tr, im[i0] + ti
+        m *= 2
+    return re, im
+
+
 _DET_PAD = 8  # sublane pad rows in the detect scratch (8-aligned stores)
 
 
@@ -291,7 +329,8 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
             mrh_ref, mrl_ref, mih_ref, mil_ref, *rest,
             n1: int, n2: int, c2r, c2i, exact_mag: bool, cfar=None,
             detect: bool = False, emit_mag: bool = True,
-            peak_radius: int = 0, emit_topk: bool = True):
+            peak_radius: int = 0, emit_topk: bool = True,
+            outer: str = "direct"):
     rest = list(rest)
     if detect:
         # Ref order: so (SMEM input) | det, [mag], stats, [rmax] (outputs) |
@@ -325,18 +364,28 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
         xr_s.append(re_ref[:, pl.ds(j2 * n1, n1)].astype(jnp.float32) * w)
         xi_s.append(im_ref[:, pl.ds(j2 * n1, n1)].astype(jnp.float32) * w)
 
+    # 2. Outer DFT_n2 over the slice planes (VPU, f32): radix-2 butterfly
+    #    network when n2 is a power of two (~8x fewer plane-ops than the
+    #    direct sum at n2=8; float sums reassociate — agreement with the
+    #    direct path is to f32 tolerance, same contract as vs XLA);
+    #    direct scalar-weighted sums otherwise (outer="direct" for A/B).
+    use_fft = outer == "fft" and n2 > 1 and (n2 & (n2 - 1)) == 0
+    if use_fft:
+        fr_s, fi_s = _outer_fft_planes(xr_s, xi_s, n2)
     for k2 in range(n2):
-        # 2. Outer DFT_n2: scalar-weighted sums of the slices (VPU, f32).
         if n2 == 1:
             br, bi = xr_s[0], xi_s[0]
         else:
-            br = bi = None
-            for j2 in range(n2):
-                cr_, ci_ = float(c2r[j2, k2]), float(c2i[j2, k2])
-                tr = xr_s[j2] * cr_ - xi_s[j2] * ci_
-                ti = xr_s[j2] * ci_ + xi_s[j2] * cr_
-                br = tr if br is None else br + tr
-                bi = ti if bi is None else bi + ti
+            if use_fft:
+                br, bi = fr_s[k2], fi_s[k2]
+            else:
+                br = bi = None
+                for j2 in range(n2):
+                    cr_, ci_ = float(c2r[j2, k2]), float(c2i[j2, k2])
+                    tr = xr_s[j2] * cr_ - xi_s[j2] * ci_
+                    ti = xr_s[j2] * ci_ + xi_s[j2] * cr_
+                    br = tr if br is None else br + tr
+                    bi = ti if bi is None else bi + ti
             # 3. Twiddle W_nr^(j1*k2): one (1, n1) row per k2.
             twr = twr_ref[k2, :]
             twi = twi_ref[k2, :]
@@ -389,14 +438,14 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
     jax.jit,
     static_argnames=("notch_mode", "transient", "coef_width", "exact_mag",
                      "interpret", "cfar", "detect", "emit_mag",
-                     "peak_group_radius", "emit_topk"))
+                     "peak_group_radius", "emit_topk", "outer"))
 def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
                  transient: str = "zero", coef_width: int = 16,
                  exact_mag: bool = False,
                  interpret: bool = False, cfar=None,
                  detect: bool = False, scale_override=0,
                  emit_mag: bool = True, peak_group_radius: int = 0,
-                 emit_topk: bool = True):
+                 emit_topk: bool = True, outer: str = "direct"):
     """Fused front-end for one frame: iq int16 (nd, nr, 2) -> magnitude
     f32 (nr, nd), nr a multiple-of-128 with nr/128 <= 16 (or nr <= 128).
     Batch by vmapping (the batch dim becomes the Pallas grid, as with the
@@ -499,7 +548,7 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
                           exact_mag=exact_mag, cfar=cfar, detect=detect,
                           emit_mag=emit_mag,
                           peak_radius=peak_group_radius,
-                          emit_topk=emit_topk),
+                          emit_topk=emit_topk, outer=outer),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
