@@ -246,3 +246,24 @@ def test_pipeline_ct_fft_detection_parity(qiq):
                           np.asarray(o2["range_bin"])[v])
     assert np.array_equal(np.asarray(o1["doppler_bin"])[v],
                           np.asarray(o2["doppler_bin"])[v])
+
+
+def test_frontend_auto_falls_back_on_unsupported_shapes():
+    """frontend='auto' must never select the Pallas kernel for shapes its
+    slice layout can't hold (n_range not a multiple of 128, or n2 > 16) —
+    it silently falls back to the XLA chain; explicit frontend='pallas'
+    raises up front instead of failing inside the kernel."""
+    from fmcw_tpu import RadarParams
+
+    for nr in (320, 4096):
+        p = RadarParams(n_range=nr, n_doppler=16)
+        proc = pl.make_processor(p, mode="float32", include_maps=False,
+                                 frontend="auto")
+        iq = pl.complex_to_iq(ref.two_target_frame(p, seed=1))
+        out = jax.tree.map(np.asarray, proc(iq))     # must not raise
+        assert out["range_bin"].shape[0] == p.tracker.max_dets
+        with pytest.raises(ValueError, match="multiple of 128"):
+            pl.make_processor(p, mode="float32", frontend="pallas")
+    assert not pl.frontend_kernel_supported(RadarParams(n_range=320))
+    assert not pl.frontend_kernel_supported(RadarParams(n_range=4096))
+    assert pl.frontend_kernel_supported(RadarParams(n_range=1024))
