@@ -113,10 +113,12 @@ def main():
             ("pallas-frontend-unfused/HIGH", p_block,
              dict(frontend="pallas", precision=jax.lax.Precision.HIGH,
                   cfar_method="auto", fuse_detect=False)),
-            ("xla-cfar/matmul-HIGH", p, dict(fft_method="matmul",
-                                             precision=jax.lax.Precision.HIGH,
-                                             frontend="xla",
-                                             cfar_method="xla")),
+            # cfar_method="xla" materializes the per-cell training windows
+            # (~67 MB/frame) — batch 128 overflows the 16 GB HBM, so this
+            # reference config runs at batch 32.
+            ("xla-cfar/matmul-HIGH@b32", p, dict(
+                fft_method="matmul", precision=jax.lax.Precision.HIGH,
+                frontend="xla", cfar_method="xla", _batch=32)),
             ("pallas-cfar/matmul-HIGHEST", p, dict(
                 fft_method="matmul", precision=jax.lax.Precision.HIGHEST,
                 frontend="xla", cfar_method="auto")),
@@ -128,10 +130,13 @@ def main():
     ref_out = None
     for name, p_cfg, kw in configs:
         try:
+            kw = dict(kw)
+            sub = kw.pop("_batch", None)
+            bd = batch_dev if sub is None else jax.device_put(batch[:sub])
             proc = pl.make_batch_processor(p_cfg, mode="float32",
                                            include_maps=False, **kw)
-            fps = bench_config(proc, batch_dev)
-            out = jax.tree.map(np.asarray, proc(batch_dev))
+            fps = bench_config(proc, bd)
+            out = jax.tree.map(np.asarray, proc(bd))
             if ref_out is None:
                 ref_out = out
                 ok = True
