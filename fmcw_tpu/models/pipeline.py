@@ -74,7 +74,14 @@ def fused_detect_supported(p: RadarParams, mode: str = "float32",
     """Can the WHOLE frame (front-end + CFAR decision + peak grouping) run
     as the single fused kernel?  Shared gate for the single-chip fused path
     and the pure-frame-DP sharded path (parallel/sharded.py)."""
+    # The detect epilogue's rotation scratch pads 8 sublane rows per slice
+    # (frontend_pallas._DET_PAD), so the CFAR window's range halo must fit
+    # 8*(n_range/128) — rdm_frontend(detect=True) rejects larger windows at
+    # trace time.  Gate it here so 'auto' resolution falls back to the
+    # standalone kernels instead of crashing (the scale-only in-kernel
+    # emission, kernel_scale_supported, has no halo dependence).
     return ((kernel_scale_supported(p) or kernel_percell_supported(p))
+            and p.cfar.halo_range <= 8 * (p.n_range // 128)
             and mode == "float32" and peak_group_radius <= 8
             and not include_debug and cfar_method in ("auto", "pallas"))
 

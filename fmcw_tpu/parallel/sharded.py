@@ -104,8 +104,13 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
     explicit_pallas = frontend == "pallas"
     if frontend == "auto":
         # Same resolution as models/pipeline.py: the fused Pallas kernel on
-        # real TPUs; the XLA chain elsewhere (interpret mode is for tests).
-        frontend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # real TPUs, and only when no non-default FFT formulation was
+        # requested (the fused kernel has its own in-VMEM Cooley-Tukey and
+        # bf16x3 numerics — fft_method/precision would silently stop
+        # binding); the XLA chain elsewhere (interpret mode is for tests).
+        frontend = ("pallas" if (jax.default_backend() == "tpu"
+                                 and fft_method == "matmul")
+                    else "xla")
     use_fused = (frontend == "pallas" and sp == 1
                  and PL.fused_detect_supported(p, mode, peak_group_radius,
                                                cfar_method))

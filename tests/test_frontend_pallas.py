@@ -236,6 +236,44 @@ def test_pipeline_fused_peak_group_matches_unfused():
     assert da == db
 
 
+def test_outer_fft_matches_direct():
+    """The opt-in radix-2 outer-DFT path (outer='fft', kept for A/B —
+    docs/PERF_LOG.md) must keep agreeing with the direct outer DFT to f32
+    tolerance (float sums reassociate, so not bit-exact)."""
+    p = RadarParams()  # n_range=1024 -> n2=8, a power of two
+    iq = pl.complex_to_iq(reference.two_target_frame(p))
+    direct = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
+                          interpret=True, outer="direct")
+    fft = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
+                       interpret=True, outer="fft")
+    scale = float(np.abs(np.asarray(direct)).max())
+    assert np.max(np.abs(np.asarray(fft) - np.asarray(direct))) / scale < 2e-5
+
+
+def test_fused_detect_gate_rejects_oversized_halo():
+    """A block-mode CfarParams whose range halo exceeds the detect
+    scratch pad (8 * n_range/128) must NOT pass the fused-detect gate —
+    frontend='auto'/'pallas' has to fall back to the standalone kernels
+    instead of hitting rdm_frontend's trace-time ValueError (ADVICE r1)."""
+    import dataclasses
+
+    big = RadarParams(
+        n_range=256,
+        cfar=dataclasses.replace(RadarParams().cfar, scale_mode="block",
+                                 scale_block=2, ref_range=12, guard_range=5))
+    assert big.cfar.halo_range == 17 > 8 * (big.n_range // 128)
+    assert pl.kernel_scale_supported(big)          # scale-only path is fine
+    assert not pl.fused_detect_supported(big)      # fused detect is not
+    # End to end: the pipeline builds and runs unfused (in-kernel scale +
+    # standalone detection kernel — the TPU production fallback).
+    iq = pl.complex_to_iq(reference.two_target_frame(big))
+    proc = pl.make_processor(big, mode="float32", include_maps=False,
+                             frontend="pallas", cfar_method="pallas")
+    out = jax.tree.map(np.asarray, proc(iq))
+    rb = out["range_bin"][out["valid"]]
+    assert any(abs(int(r) - 25) <= 2 for r in rb)  # target at bin 100*256/1024
+
+
 def test_pipeline_frontend_pallas_batch_vmap():
     iq = pl.complex_to_iq(reference.two_target_frame(Q))
     batch = np.stack([iq, iq])
