@@ -104,7 +104,16 @@ def main():
         # The XLA-front-end configs pin frontend="xla": under the "auto"
         # default they would silently resolve to the fused Pallas kernel on
         # TPU and mislabel what they measure.
+        p_ca = p.replace(cfar=dataclasses.replace(p.cfar, variant="ca",
+                                                  scale_mode="block"))
         configs += [
+            # Fused CA-CFAR variant (different detector — parity=False by
+            # construction, excluded from the headline; logged for the
+            # BASELINE config-4 variant sweep).  Measured ~+10% over the
+            # fused OS config (box-sum estimate, no rank counting pass).
+            ("pallas-frontend+fused-detect-ca/HIGH", p_ca,
+             dict(frontend="pallas", precision=jax.lax.Precision.HIGH,
+                  cfar_method="auto")),
             ("pallas-cfar-blockscale/ct-HIGH", p_block,
              dict(fft_method="ct", precision=jax.lax.Precision.HIGH,
                   frontend="xla", cfar_method="auto")),

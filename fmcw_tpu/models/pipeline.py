@@ -52,7 +52,7 @@ def kernel_scale_supported(p: RadarParams) -> bool:
     """Can the fused front-end kernel emit the clutter-map (block) scale?
     (Block grid must line up with its n2-slice layout; wrap edges.)"""
     return (frontend_kernel_supported(p)
-            and p.cfar.scale_mode == "block" and p.cfar.variant == "os"
+            and p.cfar.scale_mode == "block"
             and p.cfar.edge_mode == "wrap" and p.n_range > 128
             and p.cfar.scale_block == p.n_range // 128
             and p.n_doppler % p.cfar.scale_block == 0)
@@ -62,7 +62,7 @@ def kernel_percell_supported(p: RadarParams) -> bool:
     """Can the fused front-end kernel run the reference-exact per-cell
     adaptive-scale CFAR in its detect epilogue?"""
     return (frontend_kernel_supported(p)
-            and p.cfar.scale_mode == "cell" and p.cfar.variant == "os"
+            and p.cfar.scale_mode == "cell"
             and p.cfar.edge_mode == "wrap" and p.n_range > 128
             and p.cfar.halo_range <= 8 * (p.n_range // 128))
 
@@ -81,6 +81,7 @@ def fused_detect_supported(p: RadarParams, mode: str = "float32",
     # standalone kernels instead of crashing (the scale-only in-kernel
     # emission, kernel_scale_supported, has no halo dependence).
     return ((kernel_scale_supported(p) or kernel_percell_supported(p))
+            and p.cfar.variant in ("os", "ca", "go", "so")
             and p.cfar.halo_range <= 8 * (p.n_range // 128)
             and mode == "float32" and peak_group_radius <= 8
             and not include_debug and cfar_method in ("auto", "pallas"))

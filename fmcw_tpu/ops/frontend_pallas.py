@@ -253,6 +253,13 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
     every slice because scale_block == n2 makes true row n2*q + k2 fall in
     block row q regardless of k2.
 
+    Non-OS variants (cfar.variant in 'ca'/'go'/'so'): the threshold estimate
+    comes straight from training-window sums instead of the rank counting —
+    full-window-minus-guard mean for CA, greater/smaller-of the lead/lag
+    half-window means for GO/SO (ops/cfar._ref_sums semantics) — accumulated
+    in the same separable association order as the XLA path so the fused and
+    standalone decisions agree on the golden frames.
+
     The map rows are interleaved across the n2 slices (true row
     r = n2*q + k2 lives at mags[k2][q]), so a window offset of dr true rows
     from slice k2 is slice (k2+dr) mod n2 at a sublane offset of
@@ -283,6 +290,59 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
         def ref(dr, dd):
             return rot_ref[dd + hd, (k2 + dr) % n2,
                            pl.ds(P + (k2 + dr) // n2, n1)]
+
+        def box(r0, r1, d0, d1):
+            """Window sum over dr in [r0, r1] x dd in [d0, d1], inner sum
+            over dr ascending then outer over dd ascending — the association
+            order of ops/cfar._box2d_sum."""
+            acc = None
+            for dd in range(d0, d1 + 1):
+                col = None
+                for dr in range(r0, r1 + 1):
+                    v = ref(dr, dd)
+                    col = v if col is None else col + v
+                acc = col if acc is None else acc + col
+            return acc
+
+        def half(r0, r1):
+            """Lead/lag half-window sum: inner over dd ascending, outer over
+            dr ascending (ops/cfar._ref_sums' cols-then-rows order)."""
+            acc = None
+            for dr in range(r0, r1 + 1):
+                row = None
+                for dd in range(-hd, hd + 1):
+                    v = ref(dr, dd)
+                    row = v if row is None else row + v
+                acc = row if acc is None else acc + row
+            return acc
+
+        if cfar.variant != "os":
+            # CA/GO/SO: the estimate is a training-window mean, computed
+            # directly from the rotated slices (no rank counting pass).
+            gr, gd = cfar.guard_range, cfar.guard_doppler
+            sum_refs = box(-hr, hr, -hd, hd) - box(-gr, gr, -gd, gd)
+            if cfar.variant == "ca":
+                est = sum_refs / cfar.n_ref
+            else:
+                n_half = cfar.ref_range * cfar.win_doppler
+                ml = half(-hr, -gr - 1) / n_half
+                mg = half(gr + 1, hr) / n_half
+                est = (jnp.maximum(ml, mg) if cfar.variant == "go"
+                       else jnp.minimum(ml, mg))
+            if scale is None:
+                # Per-cell adaptive scale: est vs the full training mean
+                # (os_cfar_2d.vhd:187-199 rule applied to this variant).
+                mean = sum_refs / cfar.n_ref
+                sc = jnp.where(est > 1.5 * mean, cfar.scale_max,
+                               jnp.where(est < 0.5 * mean, cfar.scale_min,
+                                         cfar.scale_nom))
+                scale_f = jnp.where(so != 0, so, sc).astype(jnp.float32)
+            det = jnp.where(cut > est * scale_f, cut, jnp.zeros_like(cut))
+            if peak_radius > 0:
+                dets.append(det)
+            else:
+                det_ref[k2] = det
+            continue
 
         if scale is None:
             # Per-cell adaptive scale (os_cfar_2d.vhd:187-199): mean pass A
@@ -455,9 +515,9 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
     edge_mode='wrap'): also emit the clutter-map scale from the in-VMEM mag
     slices (_block_scale) and return (mag, scale int32 (nr, nd)).
 
-    ``detect=True`` (requires an OS-variant wrap-edge ``cfar``; both
-    scale_mode='block' — grid constraints as above — and the
-    reference-exact scale_mode='cell' are supported): additionally
+    ``detect=True`` (requires a wrap-edge ``cfar`` of any variant —
+    os/ca/go/so; both scale_mode='block' — grid constraints as above — and
+    the reference-exact scale_mode='cell' are supported): additionally
     run the whole CFAR detection pass in-kernel (_detect_epilogue) — the
     magnitude map never leaves VMEM.  Returns
     ``(det_slices f32 (n2, n1, nd), mag (nr, nd) | None, nonfinite int32,
@@ -486,9 +546,10 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
             f"in-kernel scale needs scale_mode='block', scale_block == "
             f"n_range/128 == {n2}, wrap edges; got {cfar}")
     if detect:
-        if cfar is None or cfar.variant != "os" or cfar.edge_mode != "wrap":
-            raise ValueError("detect=True needs an OS-variant wrap-edge "
-                             "CfarParams (see the cfar argument)")
+        if (cfar is None or cfar.variant not in ("os", "ca", "go", "so")
+                or cfar.edge_mode != "wrap"):
+            raise ValueError("detect=True needs a wrap-edge CfarParams with "
+                             "variant os/ca/go/so (see the cfar argument)")
         if (cfar.halo_range + n2 - 1) // n2 > _DET_PAD:
             raise ValueError(f"halo_range {cfar.halo_range} exceeds the "
                              f"detect scratch row pad ({_DET_PAD} x n2)")

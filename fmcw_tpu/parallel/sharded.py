@@ -119,7 +119,7 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
             "frontend='pallas' needs a pure frame-DP mesh (sp == 1, whole "
             "frames per chip), mode='float32', peak_group_radius <= 8, "
             "cfar_method in ('auto', 'pallas'), and fused-detect-compatible "
-            "CfarParams (OS variant, wrap edges, n_range = n2*128)")
+            "CfarParams (os/ca/go/so variant, wrap edges, n_range = n2*128)")
 
     def frame_fn(iq, mti_bypass, scale_override):
         """Per-(dp-shard, sp-shard) single-frame body.  iq local shape:

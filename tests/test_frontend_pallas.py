@@ -236,6 +236,62 @@ def test_pipeline_fused_peak_group_matches_unfused():
     assert da == db
 
 
+@pytest.mark.parametrize("variant", ["ca", "go", "so"])
+@pytest.mark.parametrize("scale_mode", ["block", "cell"])
+def test_fused_detect_variants_match_xla(variant, scale_mode):
+    """Fused CA/GO/SO detect epilogues vs the XLA cfar_2d evaluated on the
+    kernel's own mag (and, for block mode, the kernel's own scale plane) —
+    the accumulation orders mirror ops/cfar._ref_sums, so the decisions
+    match on the golden frames."""
+    import dataclasses
+    from fmcw_tpu.ops import cfar as C
+
+    p = RadarParams(cfar=dataclasses.replace(
+        RadarParams().cfar, variant=variant, scale_mode=scale_mode))
+    iq = pl.complex_to_iq(reference.two_target_frame(p))
+    for so in (0, 6):
+        det_s, mag, nf, row_max, n_dets = rdm_frontend(
+            jnp.asarray(iq), jnp.asarray(False), interpret=True, cfar=p.cfar,
+            detect=True, scale_override=jnp.asarray(so, jnp.int32))
+        scale = None
+        if scale_mode == "block":
+            _, scale = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
+                                    interpret=True, cfar=p.cfar)
+        want, _, _ = C.cfar_2d(mag, jnp.asarray(so, jnp.int32), cfar=p.cfar,
+                               integer=False, scale_map=scale)
+        got = np.swapaxes(np.asarray(det_s), 0, 1).reshape(p.n_range,
+                                                           p.n_doppler)
+        assert np.array_equal(got, np.asarray(want))
+        ds = np.asarray(det_s)
+        assert np.array_equal(np.asarray(row_max),
+                              ds.reshape(-1, p.n_doppler).max(axis=1))
+        assert int(n_dets) == int((ds > 0).sum())
+
+
+@pytest.mark.parametrize("variant", ["ca", "go"])
+def test_pipeline_fused_variant_detections(variant):
+    """End to end: the fused-variant pipeline finds the golden targets and
+    matches the unfused (XLA-CFAR) pipeline's detection set."""
+    import dataclasses
+
+    p = RadarParams(cfar=dataclasses.replace(
+        RadarParams().cfar, variant=variant, scale_mode="block"))
+    assert pl.fused_detect_supported(p)
+    iq = pl.complex_to_iq(reference.two_target_frame(p))
+    fused = pl.make_processor(p, mode="float32", include_maps=True,
+                              frontend="pallas", fuse_detect=True)
+    plain = pl.make_processor(p, mode="float32", include_maps=True,
+                              frontend="pallas", fuse_detect=False,
+                              cfar_method="xla")
+    a = jax.tree.map(np.asarray, fused(iq))
+    b = jax.tree.map(np.asarray, plain(iq))
+    assert a["n_dets"] == b["n_dets"] > 0
+    assert np.array_equal(a["det_map"], b["det_map"])
+    rb = a["range_bin"][a["valid"]]
+    assert any(abs(int(r) - 100) <= 2 for r in rb)
+    assert any(abs(int(r) - 500) <= 2 for r in rb)
+
+
 def test_outer_fft_matches_direct():
     """The opt-in radix-2 outer-DFT path (outer='fft', kept for A/B —
     docs/PERF_LOG.md) must keep agreeing with the direct outer DFT to f32
