@@ -176,17 +176,18 @@ def block_scale_map_sharded(mag_local: jnp.ndarray, cfar: CfarParams,
     needs one *block-grid* row from each range neighbor — a ring ppermute of
     a (Db,)-sized row of block sums / packed counts (tiny: bytes, not map
     rows), after which every per-block quantity equals the single-chip
-    wrap-mode value exactly (integer mode bit-exact; float mode adds in the
-    same (i, j) order as the single-chip nb9).  Only edge_mode='wrap' is
-    meaningful across shards (the ring realizes the global torus), matching
-    the sharded CFAR halo (parallel/sharded.py).
+    value exactly (integer mode bit-exact; float mode adds in the same
+    (i, j) order as the single-chip nb9).  edge_mode='wrap' realizes the
+    global torus through the ring; edge_mode='reflect' matches the
+    single-chip shift's CLIP semantics — edge shards substitute their own
+    edge block column for the out-of-range neighbor, and the Doppler-block
+    axis clips locally.
     """
     B = cfar.scale_block
     R, D = mag_local.shape
     if R % B or D % B:
         raise ValueError(f"scale_block={B} must divide local shape {(R, D)}")
-    if cfar.edge_mode != "wrap":
-        raise ValueError("sharded block scale supports edge_mode='wrap' only")
+    clip = cfar.edge_mode != "wrap"
     Rb, Db = R // B, D // B
     N = 9 * B * B
     rank_idx = min((N * cfar.rank_pct) // 100, N - 1)
@@ -198,19 +199,27 @@ def block_scale_map_sharded(mag_local: jnp.ndarray, cfar: CfarParams,
     bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
 
     def ext_range(grid):
-        """(Db, Rb) -> (Db, Rb + 2): ring halo along the range-block axis."""
+        """(Db, Rb) -> (Db, Rb + 2): ring halo along the range-block axis;
+        clip mode substitutes the shard's own edge column at global edges."""
         left = jax.lax.ppermute(grid[:, -1:], axis_name, fwd)
         right = jax.lax.ppermute(grid[:, :1], axis_name, bwd)
+        if clip:
+            idx = jax.lax.axis_index(axis_name)
+            left = jnp.where(idx == 0, grid[:, :1], left)
+            right = jnp.where(idx == n_sh - 1, grid[:, -1:], right)
         return jnp.concatenate([left, grid, right], axis=1)
 
     def nb9(grid):
         """Same term order as block_scale_map's nb9 (axis0=Doppler blocks
         gets offset i, axis1=range blocks offset j) for float parity."""
         e = ext_range(grid)
+        di = jnp.arange(Db)
         out = None
         for i in (-1, 0, 1):
             for j in (-1, 0, 1):
-                t = jnp.roll(e[:, 1 + j: 1 + j + Rb], -i, axis=0)
+                col = e[:, 1 + j: 1 + j + Rb]
+                t = (jnp.take(col, jnp.clip(di + i, 0, Db - 1), axis=0)
+                     if clip else jnp.roll(col, -i, axis=0))
                 out = t if out is None else out + t
         return out
 

@@ -31,15 +31,25 @@ from ..ops import window as W, fft as F, notch as N, magnitude as M
 from ..ops import cfar as C, detect as DET
 
 
-def _halo_exchange_rows(m: jnp.ndarray, h: int, axis_name: str) -> jnp.ndarray:
-    """Circular halo exchange: prepend the previous shard's last ``h`` rows
-    and append the next shard's first ``h`` rows (ring ppermute over the
-    ``sp`` axis — the reference's line-buffer wrap-around at frame edges)."""
+def _halo_exchange_rows(m: jnp.ndarray, h: int, axis_name: str,
+                        edge_mode: str = "wrap") -> jnp.ndarray:
+    """Halo exchange: prepend the previous shard's last ``h`` rows and append
+    the next shard's first ``h`` rows (ring ppermute over the ``sp`` axis —
+    the reference's line-buffer wrap-around at frame edges).
+
+    ``edge_mode="reflect"``: interior shard boundaries still take neighbor
+    rows, but the global edges mirror locally (np.pad 'reflect' semantics:
+    the row above global row 0 is row 1), reproducing the single-chip
+    reflect pad exactly.  The shard must hold at least h+1 rows."""
     n = jax.lax.axis_size(axis_name)
     fwd = [(i, (i + 1) % n) for i in range(n)]   # data moves to next shard
     bwd = [(i, (i - 1) % n) for i in range(n)]
     top = jax.lax.ppermute(m[-h:], axis_name, fwd)   # becomes upper halo
     bot = jax.lax.ppermute(m[:h], axis_name, bwd)    # becomes lower halo
+    if edge_mode == "reflect":
+        idx = jax.lax.axis_index(axis_name)
+        top = jnp.where(idx == 0, m[1:h + 1][::-1], top)
+        bot = jnp.where(idx == n - 1, m[-h - 1:-1][::-1], bot)
     return jnp.concatenate([top, m, bot], axis=0)
 
 
@@ -85,15 +95,13 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
     if p.n_doppler % sp or p.n_range % sp:
         raise ValueError(f"n_doppler={p.n_doppler} and n_range={p.n_range} "
                          f"must divide the sp axis ({sp})")
-    if p.cfar.edge_mode != "wrap" and sp > 1:
-        # The ring halo exchange realizes wrap (torus) range edges; reflect
-        # edges would need masked edge shards — not implemented.
-        raise NotImplementedError(
-            f"sharded CFAR supports edge_mode='wrap' only (got "
-            f"{p.cfar.edge_mode!r} with sp={sp})")
     max_dets = p.tracker.max_dets
     nr_local = p.n_range // sp
     hr = p.cfar.halo_range
+    if p.cfar.edge_mode == "reflect" and hr + 1 > nr_local and sp > 1:
+        raise ValueError(
+            f"edge_mode='reflect' needs halo_range+1 <= n_range/sp "
+            f"({hr + 1} > {nr_local}) for the edge shards' local mirror")
     if p.cfar.scale_mode == "block" and nr_local % p.cfar.scale_block:
         raise ValueError(
             f"scale_mode='block' needs the local range extent "
@@ -187,15 +195,16 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
         else:
             raise ValueError(mode)
 
-        # CFAR with cross-shard halo (ring exchange along sp).  Block-mode
-        # adaptive scale computes its block statistics with a block-grid
-        # halo exchange (bytes, not map rows) — bit-identical to the
-        # single-chip wrap semantics.
+        # CFAR with cross-shard halo (ring exchange along sp; reflect edges
+        # mirror locally on the edge shards).  Block-mode adaptive scale
+        # computes its block statistics with a block-grid halo exchange
+        # (bytes, not map rows) — bit-identical to the single-chip
+        # semantics in either edge mode.
         scale_map = None
         if p.cfar.scale_mode == "block":
             scale_map = C.block_scale_map_sharded(
                 mag, p.cfar, integer=(mode == "fixed"), axis_name="sp")
-        mag_h = _halo_exchange_rows(mag, hr, "sp")
+        mag_h = _halo_exchange_rows(mag, hr, "sp", p.cfar.edge_mode)
         det, _, _ = C.cfar_2d_auto(mag_h, scale_override, cfar=p.cfar,
                                    integer=(mode == "fixed"),
                                    prepadded_range=True,

@@ -57,6 +57,44 @@ def test_sharded_matches_single_chip_fixed(batch):
     assert np.array_equal(out["n_dets"], single["n_dets"])
 
 
+@pytest.mark.parametrize("mode,scale_mode", [
+    ("float32", "cell"), ("float32", "block"), ("fixed", "block"),
+])
+def test_sharded_reflect_matches_single_chip(batch, mode, scale_mode):
+    """edge_mode='reflect' across shards: global edges mirror locally on the
+    edge shards, interior boundaries exchange neighbor rows; the block scale
+    uses the single-chip clip semantics.  Fixed mode is bit-identical;
+    float mode must make identical detection decisions."""
+    import dataclasses
+
+    p = Q.replace(cfar=dataclasses.replace(Q.cfar, edge_mode="reflect",
+                                           scale_mode=scale_mode))
+    mesh = M.make_mesh(dp=2, sp=4)
+    proc = sh.make_sharded_processor(mesh, p, mode=mode, include_maps=True)
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = jax.tree.map(
+        np.asarray, pl.make_batch_processor(p, mode=mode,
+                                            include_maps=True)(batch))
+    if mode == "fixed":
+        assert np.array_equal(out["mag_map"], single["mag_map"])
+        assert np.array_equal(out["det_map"], single["det_map"])
+    else:
+        assert np.array_equal(out["det_map"] > 0, single["det_map"] > 0)
+    assert np.array_equal(out["n_dets"], single["n_dets"])
+    v = single["valid"]
+    assert np.array_equal(out["range_bin"][v], single["range_bin"][v])
+
+
+def test_sharded_reflect_halo_too_large():
+    import dataclasses
+
+    p = Q.replace(cfar=dataclasses.replace(
+        Q.cfar, edge_mode="reflect", ref_range=24, guard_range=8))
+    mesh = M.make_mesh(dp=2, sp=4)   # nr_local = 32, halo 32 -> needs 33 rows
+    with pytest.raises(ValueError, match="reflect"):
+        sh.make_sharded_processor(mesh, p)
+
+
 def test_sharded_runtime_controls(batch):
     mesh = M.make_mesh(dp=1, sp=8)
     proc = sh.make_sharded_processor(mesh, Q, mode="float32")
