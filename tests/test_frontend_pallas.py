@@ -236,6 +236,33 @@ def test_pipeline_fused_peak_group_matches_unfused():
     assert da == db
 
 
+@pytest.mark.parametrize("n_range", [256, 512])
+def test_fused_detect_small_n2(n_range):
+    """Fused detect at n2 = 2 and 4 (the slice-interleave addressing has
+    non-trivial (k2+dr)//n2 sub-row offsets at small n2): det map matches
+    the standalone kernel on the kernel's own mag/scale."""
+    import dataclasses
+    from fmcw_tpu.ops.cfar_pallas import cfar_2d_pallas_detect
+
+    n2 = n_range // 128
+    p = RadarParams(n_range=n_range, cfar=dataclasses.replace(
+        RadarParams().cfar, scale_mode="block", scale_block=n2))
+    assert pl.fused_detect_supported(p)
+    iq = pl.complex_to_iq(reference.two_target_frame(p))
+    det_s, mag, nf, row_max, n_dets = rdm_frontend(
+        jnp.asarray(iq), jnp.asarray(False), interpret=True, cfar=p.cfar,
+        detect=True, scale_override=jnp.asarray(0, jnp.int32))
+    mag2, scale = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
+                               interpret=True, cfar=p.cfar)
+    assert np.array_equal(np.asarray(mag), np.asarray(mag2))
+    want, _ = cfar_2d_pallas_detect(mag2, jnp.asarray(0, jnp.int32),
+                                    cfar=p.cfar, interpret=True,
+                                    scale_map=scale)
+    got = np.swapaxes(np.asarray(det_s), 0, 1).reshape(p.n_range, p.n_doppler)
+    assert np.array_equal(got, np.asarray(want))
+    assert int(n_dets) == int((got > 0).sum()) > 0
+
+
 @pytest.mark.parametrize("variant", ["ca", "go", "so"])
 @pytest.mark.parametrize("scale_mode", ["block", "cell"])
 def test_fused_detect_variants_match_xla(variant, scale_mode):
