@@ -294,14 +294,21 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
         def box(r0, r1, d0, d1):
             """Window sum over dr in [r0, r1] x dd in [d0, d1], inner sum
             over dr ascending then outer over dd ascending — the association
-            order of ops/cfar._box2d_sum."""
+            order of ops/cfar._box2d_sum.  Separable: the dr column sum is
+            computed once (on the un-rotated planes) and reused for every dd
+            via lane rolls — each output cell's addition tree is identical
+            to the direct double loop (sum_dd of sum_dr), so this is
+            bit-exact with it, at ~(W_r + 2*W_d) plane-ops instead of
+            W_r*W_d."""
+            col = None
+            for dr in range(r0, r1 + 1):
+                v = ref(dr, 0)
+                col = v if col is None else col + v
+            nd_ = col.shape[1]
             acc = None
             for dd in range(d0, d1 + 1):
-                col = None
-                for dr in range(r0, r1 + 1):
-                    v = ref(dr, dd)
-                    col = v if col is None else col + v
-                acc = col if acc is None else acc + col
+                t = col if dd == 0 else pltpu.roll(col, (-dd) % nd_, axis=1)
+                acc = t if acc is None else acc + t
             return acc
 
         def half(r0, r1):
@@ -319,8 +326,11 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
         if cfar.variant != "os":
             # CA/GO/SO: the estimate is a training-window mean, computed
             # directly from the rotated slices (no rank counting pass).
+            # sum_refs is only needed for CA's estimate and the per-cell
+            # scale classification — GO/SO in block mode skip it entirely.
             gr, gd = cfar.guard_range, cfar.guard_doppler
-            sum_refs = box(-hr, hr, -hd, hd) - box(-gr, gr, -gd, gd)
+            sum_refs = (box(-hr, hr, -hd, hd) - box(-gr, gr, -gd, gd)
+                        if cfar.variant == "ca" or scale is None else None)
             if cfar.variant == "ca":
                 est = sum_refs / cfar.n_ref
             else:
