@@ -98,6 +98,13 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
     max_dets = p.tracker.max_dets
     nr_local = p.n_range // sp
     hr = p.cfar.halo_range
+    if sp > 1 and max(hr, peak_group_radius) > nr_local:
+        # The single-hop ring exchange supplies at most one neighbor
+        # shard's rows per side.
+        raise ValueError(
+            f"CFAR halo_range ({hr}) and peak_group_radius "
+            f"({peak_group_radius}) must not exceed the local range extent "
+            f"(n_range/sp = {nr_local})")
     if p.cfar.edge_mode == "reflect" and hr + 1 > nr_local and sp > 1:
         raise ValueError(
             f"edge_mode='reflect' needs halo_range+1 <= n_range/sp "

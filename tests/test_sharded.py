@@ -85,14 +85,18 @@ def test_sharded_reflect_matches_single_chip(batch, mode, scale_mode):
     assert np.array_equal(out["range_bin"][v], single["range_bin"][v])
 
 
-def test_sharded_reflect_halo_too_large():
+def test_sharded_halo_too_large():
     import dataclasses
 
+    mesh = M.make_mesh(dp=2, sp=4)   # nr_local = 32
     p = Q.replace(cfar=dataclasses.replace(
-        Q.cfar, edge_mode="reflect", ref_range=24, guard_range=8))
-    mesh = M.make_mesh(dp=2, sp=4)   # nr_local = 32, halo 32 -> needs 33 rows
+        Q.cfar, edge_mode="reflect", ref_range=24, guard_range=8))  # halo 32
     with pytest.raises(ValueError, match="reflect"):
         sh.make_sharded_processor(mesh, p)
+    p2 = Q.replace(cfar=dataclasses.replace(
+        Q.cfar, ref_range=30, guard_range=5))   # halo 35 > 32, wrap mode
+    with pytest.raises(ValueError, match="halo_range"):
+        sh.make_sharded_processor(mesh, p2)
 
 
 def test_sharded_runtime_controls(batch):
