@@ -263,6 +263,27 @@ def test_fused_detect_small_n2(n_range):
     assert int(n_dets) == int((got > 0).sum()) > 0
 
 
+def test_fused_pipeline_256_chirps():
+    """BASELINE config 2 shape (256 chirps x 1024 samples): the fused
+    pipeline supports the doubled CPI and matches the unfused path."""
+    import dataclasses
+
+    p = RadarParams(n_doppler=256, cfar=dataclasses.replace(
+        RadarParams().cfar, scale_mode="block"))
+    assert pl.fused_detect_supported(p)
+    iq = pl.complex_to_iq(reference.two_target_frame(p))
+    fused = pl.make_processor(p, mode="float32", include_maps=False,
+                              frontend="pallas", fuse_detect=True)
+    plain = pl.make_processor(p, mode="float32", include_maps=False,
+                              frontend="pallas", fuse_detect=False)
+    a = jax.tree.map(np.asarray, fused(iq))
+    b = jax.tree.map(np.asarray, plain(iq))
+    assert a["n_dets"] == b["n_dets"] > 0
+    rb = a["range_bin"][a["valid"]]
+    assert any(abs(int(r) - 100) <= 2 for r in rb)
+    assert any(abs(int(r) - 500) <= 2 for r in rb)
+
+
 @pytest.mark.parametrize("variant", ["ca", "go", "so"])
 @pytest.mark.parametrize("scale_mode", ["block", "cell"])
 def test_fused_detect_variants_match_xla(variant, scale_mode):
