@@ -22,6 +22,8 @@ verified bit-exact in tests/test_sharded.py).
 from __future__ import annotations
 
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -275,6 +277,14 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
         check_vma=False,
     ))
 
+    def _ctrl(x, dtype):
+        # Traced runtime control: a 0-d numpy array stays a *dynamic* jit
+        # argument (a Python scalar would be hashed static and recompile per
+        # value) and, unlike a committed jnp scalar, is a valid input to a
+        # multi-process (multi-host) mesh computation — every process passes
+        # the same host value and jit replicates it over the global mesh.
+        return x if isinstance(x, jax.Array) else np.asarray(x, dtype)
+
     def process(iq, mti_bypass=False, scale_override=0):
         if iq.ndim != 4 or iq.shape[1:] != (p.n_doppler, p.n_range, 2):
             raise ValueError(
@@ -282,8 +292,8 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
                 f"{p.n_range}, 2), got {iq.shape}")
         if iq.shape[0] % dp:
             raise ValueError(f"batch {iq.shape[0]} not divisible by dp={dp}")
-        return sharded(iq, jnp.asarray(mti_bypass, dtype=jnp.bool_),
-                       jnp.asarray(scale_override, dtype=jnp.int32))
+        return sharded(iq, _ctrl(mti_bypass, np.bool_),
+                       _ctrl(scale_override, np.int32))
 
     process.jitted = sharded
     return process

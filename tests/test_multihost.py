@@ -1,0 +1,56 @@
+"""Multi-host (multi-process) mesh validation.
+
+Spawns two worker processes (tools/multihost_worker.py), each owning 4
+virtual CPU devices, joined into one 8-device global mesh through
+``jax.distributed`` + gloo cross-process collectives — the topology of a
+2-host TPU slice.  The workers run the sharded pipeline with dp across
+hosts (frame parallelism over "DCN") and with sp across hosts (the
+all-to-all corner turn and ppermute CFAR halo ring crossing the host
+boundary) and assert bit-identical detections vs the single-device
+pipeline (fixed mode).  This pins the multi-host code path the single-
+process 8-device tests can't reach: global-array inputs, cross-process
+collectives, and per-process addressable-shard outputs.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), os.pardir, "tools",
+                      "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_mesh_matches_single_device():
+    port = _free_port()
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER,
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(i),
+             "--local-devices", "4"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for pr in procs:
+            out, _ = pr.communicate(timeout=780)
+            outs.append(out)
+    finally:
+        for pr in procs:
+            if pr.poll() is None:
+                pr.kill()
+    for i, (pr, out) in enumerate(zip(procs, outs)):
+        assert pr.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"MULTIHOST OK p{i}/2" in out, out

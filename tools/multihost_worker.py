@@ -1,0 +1,137 @@
+"""Multi-host validation worker (BASELINE config 5; SURVEY.md §2d/§4).
+
+The reference is a single-chip dataflow machine; this framework's multi-host
+story is a ``jax.distributed`` global mesh (ICI within a host's chips, DCN
+across hosts).  Real multi-host TPU slices aren't reachable from CI, so this
+worker simulates the topology faithfully: N processes (one per "host"), each
+owning ``--local-devices`` virtual CPU chips, joined through the JAX
+coordination service with cross-process gloo collectives — the same code
+path ``parallel/mesh.maybe_init_distributed`` takes on a real pod slice.
+
+Launched by tests/test_multihost.py (or manually):
+
+    python tools/multihost_worker.py --process-id I --num-processes N \
+        --coordinator localhost:PORT [--local-devices 4]
+
+Each process runs the sharded radar pipeline over the GLOBAL mesh in two
+regimes and checks every output row it can address against the local
+single-device pipeline (mode="fixed" — bit-identical by the parity
+invariant):
+
+* dp across hosts (dp=N, sp=local): frame data-parallelism over DCN — the
+  throughput regime;
+* sp across hosts (dp=1, sp=N*local): the all-to-all corner turn and the
+  ppermute CFAR halo ring cross the host boundary — the latency regime and
+  the hardest collective path.
+
+Prints ``MULTIHOST OK ...`` and exits 0 on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--local-devices", type=int, default=4)
+    args = ap.parse_args()
+
+    # Force this process's virtual chip count (scrub any inherited value —
+    # pytest's conftest pins 8) before the backend initializes.
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   os.environ.get("XLA_FLAGS", ""))
+    os.environ["XLA_FLAGS"] = (
+        f"{flags} --xla_force_host_platform_device_count="
+        f"{args.local_devices}").strip()
+
+    import jax
+
+    # The container's sitecustomize pins JAX_PLATFORMS=axon; see CLAUDE.md.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import fmcw_tpu
+    from fmcw_tpu.golden import reference as ref
+    from fmcw_tpu.models import pipeline as pl
+    from fmcw_tpu.parallel import mesh as M, sharded as sh
+
+    n_global = args.num_processes * args.local_devices
+    assert jax.device_count() == n_global, jax.devices()
+    assert jax.local_device_count() == args.local_devices
+
+    p = fmcw_tpu.quick()
+    frames = [ref.two_target_frame(p, seed=s) for s in range(4)]
+    batch = np.stack([pl.complex_to_iq(f) for f in frames])
+
+    # Local single-device reference (bit-identical contract in fixed mode).
+    single = jax.tree.map(
+        np.asarray,
+        pl.make_batch_processor(p, mode="fixed",
+                                peak_group_radius=1)(batch))
+
+    def check_rows(out, tag):
+        """Verify every batch row this process can address."""
+        v_all = single["valid"]
+        seen = set()
+        for s_ in out["valid"].addressable_shards:
+            b = s_.index[0]
+            rows = range(b.start or 0, b.stop if b.stop is not None
+                         else batch.shape[0])
+            for r, val in zip(rows, np.asarray(s_.data)):
+                seen.add(r)
+                assert np.array_equal(val, v_all[r]), (tag, r)
+        assert seen, tag
+
+        def rows_of(key):
+            d = {}
+            for s_ in out[key].addressable_shards:
+                b = s_.index[0]
+                start = b.start or 0
+                d.update({start + i: row for i, row in
+                          enumerate(np.asarray(s_.data))})
+            return d
+
+        for key in ("range_bin", "doppler_bin", "mag", "n_dets"):
+            got = rows_of(key)
+            for r, val in got.items():
+                want = single[key][r]
+                if key != "n_dets":
+                    val, want = val[v_all[r]], want[v_all[r]]
+                assert np.array_equal(val, want), (tag, key, r)
+        return len(seen)
+
+    results = []
+    for dp, sp in ((args.num_processes, args.local_devices),
+                   (1, n_global)):
+        mesh = M.make_mesh(dp=dp, sp=sp)
+        proc = sh.make_sharded_processor(mesh, p, mode="fixed",
+                                         peak_group_radius=1)
+        shard = NamedSharding(mesh, P("dp", "sp", None, None))
+        gx = jax.make_array_from_callback(batch.shape, shard,
+                                          lambda idx: batch[idx])
+        out = proc(gx)
+        n = check_rows(out, f"dp{dp}sp{sp}")
+        results.append(f"dp{dp}sp{sp}:{n}rows")
+
+    print(f"MULTIHOST OK p{args.process_id}/{args.num_processes} "
+          f"({n_global} devices): " + " ".join(results), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
