@@ -71,13 +71,33 @@ def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
     def ref_view(dr, dd, idx=None):
         return refs_ref[offsets.index((dr, dd)) if idx is None else idx]
 
-    # 3+4. Bit-serial radix selection of the k-th largest training cell
-    # (compare-bound: one compare+add per (bit, ref) on the VPU).  The
-    # adaptive-scale mean accumulates inside the first pass for free.
+    # 3. Adaptive-scale mean from full-minus-guard window sums in the
+    # association order of ops/cfar._ref_sums — the float mean is
+    # bit-identical to the XLA path's and to _kernel_detect's.
+    def raw_view(dr, dd):
+        return rot_ref[dd + hd, pl.ds(hr + dr, tile_rows), :]
+
+    conv = ((lambda v: v) if integer
+            else (lambda v: pltpu.bitcast(v, jnp.float32)))
+    gr, gd = cfar.guard_range, cfar.guard_doppler
+
+    def boxsum(r0, r1, d0, d1):
+        acc = None
+        for dd in range(d0, d1 + 1):
+            col = None
+            for dr in range(r0, r1 + 1):
+                v = conv(raw_view(dr, dd))
+                col = v if col is None else col + v
+            acc = col if acc is None else acc + col
+        return acc
+
+    sum_refs = boxsum(-hr, hr, -hd, hd) - boxsum(-gr, gr, -gd, gd)
+    mean = (sum_refs // cfar.n_ref) if integer else (sum_refs / cfar.n_ref)
+
+    # 4. Bit-serial radix selection of the k-th largest training cell
+    # (compare-bound: one compare+add per (bit, ref) on the VPU).
     zero = jnp.zeros((tile_rows, D), jnp.int32)
     prefix = zero
-    acc = zero
-    accf = jnp.zeros((tile_rows, D), jnp.float32)
     if integer:
         bit_positions = list(reversed(range(bits)))
     else:
@@ -85,21 +105,15 @@ def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
         # 0) down; scanning only the top ``bits`` positions ranks on a
         # truncated key — see cfar_2d_pallas(rank_bits=...).
         bit_positions = list(range(30, 30 - bits, -1))
-    for pos, b in enumerate(bit_positions):
+    for b in bit_positions:
         cand = prefix | (1 << b)
         cnt = zero
         for idx in range(cfar.n_ref):
             v = ref_view(None, None, idx)
             cnt = cnt + (v >= cand).astype(jnp.int32)
-            if pos == 0:
-                if integer:
-                    acc = acc + v
-                else:
-                    accf = accf + pltpu.bitcast(v, jnp.float32)
         prefix = jnp.where(cnt >= k, cand, prefix)
-    mean = (acc // cfar.n_ref) if integer else (accf / cfar.n_ref)
 
-    # 4. Adaptive scale + threshold + zero-suppressed detection output
+    # 5. Adaptive scale + threshold + zero-suppressed detection output
     #    (os_cfar_2d.vhd:187-217 semantics, matching ops/cfar.cfar_2d).
     so = so_ref[0]
     if integer:
@@ -168,24 +182,38 @@ def _kernel_detect(mag_ref, padded_ref, so_ref, det_ref, scale_ref,
     def fval(v):
         return pltpu.bitcast(v, jnp.float32)
 
-    # Materialize the training planes; the mean (adaptive-scale statistic)
-    # accumulates inside the same loop while each plane is still live.
+    def view(dr, dd):
+        return rot_ref[dd + hd, pl.ds(hr + dr, tile_rows), :]
+
+    # Materialize the training planes for passes B/C.
+    for idx, (dr, dd) in enumerate(offsets):
+        refs_ref[idx] = view(dr, dd)
+
+    # Pass A: the adaptive-scale mean, from full-minus-guard window sums in
+    # the association order of ops/cfar._ref_sums (_box1d over dr ascending,
+    # then over dd ascending) — the float mean is bit-identical to the XLA
+    # path's and to the fused front-end epilogue's, not just
+    # decision-equivalent.
+    conv = (lambda v: v) if integer else fval
+    gr, gd = cfar.guard_range, cfar.guard_doppler
+
+    def boxsum(r0, r1, d0, d1):
+        acc = None
+        for dd in range(d0, d1 + 1):
+            col = None
+            for dr in range(r0, r1 + 1):
+                v = conv(view(dr, dd))
+                col = v if col is None else col + v
+            acc = col if acc is None else acc + col
+        return acc
+
+    sum_refs = (boxsum(-hr, hr, -hd, hd) - boxsum(-gr, gr, -gd, gd))
     if integer:
-        acc = zero
-        for idx, (dr, dd) in enumerate(offsets):
-            v = rot_ref[dd + hd, pl.ds(hr + dr, tile_rows), :]
-            refs_ref[idx] = v
-            acc = acc + v
-        mean = acc // cfar.n_ref
+        mean = sum_refs // cfar.n_ref
         t_hi = mean + (mean >> 1)
         t_lo = mean >> 1
     else:
-        accf = jnp.zeros((tile_rows, D), jnp.float32)
-        for idx, (dr, dd) in enumerate(offsets):
-            v = rot_ref[dd + hd, pl.ds(hr + dr, tile_rows), :]
-            refs_ref[idx] = v
-            accf = accf + fval(v)
-        mean = accf / cfar.n_ref
+        mean = sum_refs / cfar.n_ref
         t_hi = 1.5 * mean
         t_lo = 0.5 * mean
 

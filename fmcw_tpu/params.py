@@ -159,6 +159,7 @@ def fast() -> RadarParams:
                                        frontend="pallas",
                                        include_maps=False)
 
-    (bench.py's headline config; ~20.7k frames/s on a v5e chip vs ~11.1k
-    for the reference-faithful per-cell configuration)."""
+    (bench.py's headline config; ~28.7k frames/s on a v5e chip vs ~18k
+    for the reference-faithful per-cell configuration — both with the
+    fully-fused front-end+detect kernel)."""
     return RadarParams(cfar=CfarParams(scale_mode="block"))
