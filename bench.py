@@ -40,7 +40,7 @@ def _sync(out):
     return np.asarray(out["n_dets"]).sum()
 
 
-def bench_config(proc, batch, iters=16, reps=3):
+def bench_config(proc, batch, iters=16, reps=5):
     """Best-of-``reps`` steady-state throughput.  The tunneled TPU's
     effective speed swings ~1.5-2x with external load; the max over a few
     short repetitions reports the machine's capability rather than the
@@ -135,14 +135,23 @@ def main():
                                             precision=jax.lax.Precision.HIGH,
                                             frontend="xla",
                                             cfar_method="auto")),
+            # Bit-faithful fixed-point mode (parity=False by construction —
+            # different detector numerics than the float headline): the XLA
+            # integer chain vs the fused fixed-point kernel (opt-in
+            # frontend="pallas"; measured ~+70% same-run).
+            ("fixed-xla", p, dict(mode="fixed", frontend="xla",
+                                  cfar_method="auto")),
+            ("fixed-fused-pallas", p, dict(mode="fixed", frontend="pallas",
+                                           cfar_method="auto")),
         ]
     ref_out = None
     for name, p_cfg, kw in configs:
         try:
             kw = dict(kw)
             sub = kw.pop("_batch", None)
+            mode = kw.pop("mode", "float32")
             bd = batch_dev if sub is None else jax.device_put(batch[:sub])
-            proc = pl.make_batch_processor(p_cfg, mode="float32",
+            proc = pl.make_batch_processor(p_cfg, mode=mode,
                                            include_maps=False, **kw)
             fps = bench_config(proc, bd)
             out = jax.tree.map(np.asarray, proc(bd))

@@ -67,13 +67,8 @@ def kernel_percell_supported(p: RadarParams) -> bool:
             and p.cfar.halo_range <= 8 * (p.n_range // 128))
 
 
-def fused_detect_supported(p: RadarParams, mode: str = "float32",
-                           peak_group_radius: int = 0,
-                           cfar_method: str = "auto",
-                           include_debug: bool = False) -> bool:
-    """Can the WHOLE frame (front-end + CFAR decision + peak grouping) run
-    as the single fused kernel?  Shared gate for the single-chip fused path
-    and the pure-frame-DP sharded path (parallel/sharded.py)."""
+def _fused_geometry_ok(p: RadarParams, peak_group_radius: int,
+                       cfar_method: str, include_debug: bool) -> bool:
     # The detect epilogue's rotation scratch pads 8 sublane rows per slice
     # (frontend_pallas._DET_PAD), so the CFAR window's range halo must fit
     # 8*(n_range/128) — rdm_frontend(detect=True) rejects larger windows at
@@ -83,25 +78,73 @@ def fused_detect_supported(p: RadarParams, mode: str = "float32",
     return ((kernel_scale_supported(p) or kernel_percell_supported(p))
             and p.cfar.variant in ("os", "ca", "go", "so")
             and p.cfar.halo_range <= 8 * (p.n_range // 128)
-            and mode == "float32" and peak_group_radius <= 8
+            and peak_group_radius <= 8
             and not include_debug and cfar_method in ("auto", "pallas"))
+
+
+def fused_detect_supported(p: RadarParams, mode: str = "float32",
+                           peak_group_radius: int = 0,
+                           cfar_method: str = "auto",
+                           include_debug: bool = False) -> bool:
+    """Can the WHOLE frame (front-end + CFAR decision + peak grouping) run
+    as the single fused kernel?  Shared gate for the single-chip fused path
+    and the pure-frame-DP sharded path (parallel/sharded.py)."""
+    return (mode == "float32"
+            and _fused_geometry_ok(p, peak_group_radius, cfar_method,
+                                   include_debug))
+
+
+def fused_fixed_detect_supported(p: RadarParams, peak_group_radius: int = 0,
+                                 cfar_method: str = "auto",
+                                 include_debug: bool = False) -> bool:
+    """Can mode='fixed' run as the fused fixed-point kernel
+    (frontend_pallas.rdm_frontend_fixed)?  Same geometry gate as the float
+    fused path.  NOTE this path is explicit opt-in (frontend='pallas') —
+    'auto' keeps the XLA chain for fixed mode, preserving the
+    "fixed mode is bit-identical everywhere" invariant (the fused kernel's
+    bf16x6 FFTs differ from the XLA chain's in quantized ulps; see the
+    rdm_frontend_fixed numerics contract)."""
+    return _fused_geometry_ok(p, peak_group_radius, cfar_method,
+                              include_debug)
 
 
 def fused_detect_frame(p: RadarParams, iq, mti_bypass, scale_override, *,
                        max_dets: int, mti_transient: str = "zero",
                        magnitude_exact: bool = False,
                        include_maps: bool = False,
-                       peak_group_radius: int = 0):
-    """Fully-fused single-frame step (gate: fused_detect_supported): the
-    whole chain — front-end, CFAR decision, peak grouping, top-K candidate
-    reduction — in ONE Pallas kernel + the 64-row top-K gather.  Shared by
-    the single-chip pipeline and the pure-frame-DP sharded path
-    (parallel/sharded.py)."""
+                       peak_group_radius: int = 0,
+                       mode: str = "float32",
+                       window_rounding: str = "unbiased"):
+    """Fully-fused single-frame step (gate: fused_detect_supported /
+    fused_fixed_detect_supported): the whole chain — front-end, CFAR
+    decision, peak grouping, top-K candidate reduction — in ONE Pallas
+    kernel + the 64-row top-K gather.  Shared by the single-chip pipeline
+    and the pure-frame-DP sharded path (parallel/sharded.py)."""
+    interp = jax.default_backend() != "tpu"
+    if mode == "fixed":
+        from ..ops.frontend_pallas import rdm_frontend_fixed
+        det_s, mag, sat, row_max, n_dets = rdm_frontend_fixed(
+            iq, mti_bypass, scale_override, notch_mode=p.notch_mode,
+            transient=mti_transient, coef_width=p.coef_width,
+            window_rounding=window_rounding, interpret=interp, cfar=p.cfar,
+            emit_mag=include_maps, peak_group_radius=peak_group_radius)
+        out = DET.topk_detections_sliced(det_s, max_dets=max_dets,
+                                         row_max=row_max, n_dets=n_dets)
+        # Match the XLA fixed chain's integer dtypes (the kernel carries
+        # integer values in f32).
+        out["mag"] = out["mag"].astype(jnp.int32)
+        out["saturation_count"] = sat
+        out["nonfinite_count"] = jnp.int32(0)
+        if include_maps:
+            out["mag_map"] = mag.astype(jnp.int32)
+            out["det_map"] = jnp.swapaxes(det_s, 0, 1).reshape(
+                p.n_range, p.n_doppler).astype(jnp.int32)
+        return out
     from ..ops.frontend_pallas import rdm_frontend
     det_s, mag, nonfinite, row_max, n_dets = rdm_frontend(
         iq, mti_bypass, notch_mode=p.notch_mode, transient=mti_transient,
         exact_mag=magnitude_exact,
-        interpret=jax.default_backend() != "tpu", cfar=p.cfar,
+        interpret=interp, cfar=p.cfar,
         detect=True, scale_override=scale_override,
         emit_mag=include_maps, peak_group_radius=peak_group_radius)
     out = DET.topk_detections_sliced(det_s, max_dets=max_dets,
@@ -153,7 +196,12 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         # kernel computes with manual bf16x3 (== XLA Precision.HIGH
         # numerics); pass frontend="xla" to make ``precision``/
         # ``fft_method`` binding (e.g. exact HIGHEST-precision matmuls).
+        # mode='fixed' never auto-resolves to the kernel: its bf16x6 FFTs
+        # quantize within 1 LSB of the XLA chain but not identically, and
+        # the fixed mode's contract is bit-identical-everywhere by default
+        # — the fast fixed kernel is explicit opt-in (frontend='pallas').
         frontend = ("pallas" if (jax.default_backend() == "tpu"
+                                 and mode == "float32"
                                  and frontend_kernel_supported(p)
                                  and fft_method == "matmul")
                     else "xla")
@@ -177,6 +225,20 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                      and fused_detect_supported(
                          p, mode, peak_group_radius, cfar_method,
                          include_debug))
+    # Fixed-point fused kernel: explicit opt-in only (frontend='pallas'
+    # with mode='fixed'); see fused_fixed_detect_supported.
+    kernel_detect_fixed = (fuse_detect and mode == "fixed"
+                           and frontend == "pallas"
+                           and fused_fixed_detect_supported(
+                               p, peak_group_radius, cfar_method,
+                               include_debug))
+    if mode == "fixed" and frontend == "pallas" and not kernel_detect_fixed:
+        raise ValueError(
+            "frontend='pallas' with mode='fixed' runs the fused fixed-point "
+            "kernel, which needs fuse_detect=True, a wrap-edge os/ca/go/so "
+            "CfarParams fitting the kernel geometry "
+            "(fused_fixed_detect_supported), peak_group_radius <= 8, no "
+            "debug taps, and cfar_method in ('auto', 'pallas')")
 
     def float_path(iq, mti_bypass, scale_override):
         scale_map = None
@@ -243,13 +305,14 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
 
     @jax.jit
     def _process(iq, mti_bypass, scale_override):
-        if kernel_detect:
+        if kernel_detect or kernel_detect_fixed:
             return fused_detect_frame(
                 p, iq, mti_bypass, scale_override, max_dets=max_dets,
                 mti_transient=mti_transient,
                 magnitude_exact=magnitude_exact,
                 include_maps=include_maps,
-                peak_group_radius=peak_group_radius)
+                peak_group_radius=peak_group_radius,
+                mode=mode, window_rounding=window_rounding)
         mag, det, threshold, scale, sat, nonfinite = path(
             iq, mti_bypass, scale_override)
         if peak_group_radius > 0:

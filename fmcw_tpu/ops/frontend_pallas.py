@@ -63,6 +63,17 @@ def _split_matrix(c: np.ndarray):
     return np.asarray(hi), np.asarray(lo)
 
 
+def _split_matrix3(c: np.ndarray):
+    """f32 matrix -> (bf16 hi, mid, lo) with hi+mid+lo == c to ~2^-25 rel —
+    the 3-term operand split of XLA's Precision.HIGHEST (bf16x6)."""
+    c = np.asarray(c, np.float32)
+    hi = c.astype(jnp.bfloat16)
+    r = c - np.asarray(hi, np.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - np.asarray(mid, np.float32)).astype(jnp.bfloat16)
+    return np.asarray(hi), np.asarray(mid), np.asarray(lo)
+
+
 @functools.lru_cache(maxsize=8)
 def _ct_split(nr: int):
     """(n1, n2, W_n2 (n2, n2) re/im, twiddle (n2, n1) re/im) for the
@@ -79,7 +90,7 @@ def _ct_split(nr: int):
             np.cos(at).astype(np.float32), np.sin(at).astype(np.float32))
 
 
-def _block_scale(mags, *, n2: int, cfar):
+def _block_scale(mags, *, n2: int, cfar, integer: bool = False):
     """Clutter-map scale (CfarParams.scale_mode='block', design_notes §8)
     computed from the in-VMEM mag slices when scale_block == n2 == nd//16...
 
@@ -120,6 +131,37 @@ def _block_scale(mags, *, n2: int, cfar):
     def groups3(x):
         return x + roll(x, B, 1) + roll(x, -B, 1)
 
+    if integer:
+        # ops/cfar.block_scale_map integer semantics: int32 block sums (the
+        # 9-block neighborhood sum can exceed 2^24, so f32 accumulation is
+        # not exact), floor-divided mean, shift-based thresholds.  The mag
+        # planes hold int16-magnitude values in f32; sums stay exact int32.
+        r = mags[0].astype(jnp.int32)
+        for k2 in range(1, n2):
+            r = r + mags[k2].astype(jnp.int32)
+        nsum = groups3(lane_group_bcast(rows3(r)))
+        # Exact floor(nsum / N): the f32 quotient of a (possibly >2^24)
+        # int32 is within +-1 of the true floor; one multiply-back
+        # correction fixes it.
+        q0 = jnp.floor(nsum.astype(jnp.float32)
+                       / np.float32(N)).astype(jnp.int32)
+        rem = nsum - q0 * N
+        mean = q0 + (rem >= N).astype(jnp.int32) - (rem < 0).astype(jnp.int32)
+        t_hi = mean + (mean >> 1)
+        t_lo = mean >> 1
+        ind = None
+        for k2 in range(n2):
+            mi = mags[k2].astype(jnp.int32)
+            t = ((mi > t_hi).astype(jnp.int32)
+                 + ((mi >= t_lo).astype(jnp.int32) << 10))
+            ind = t if ind is None else ind + t
+        packed = groups3(lane_group_bcast(rows3(ind)))
+        cnt_hi = packed & 1023
+        cnt_lo = packed >> 10
+        return jnp.where(
+            cnt_hi >= k, cfar.scale_max,
+            jnp.where(cnt_lo < k, cfar.scale_min, cfar.scale_nom)).astype(
+                jnp.int32)
     r = mags[0]
     for k2 in range(1, n2):
         r = r + mags[k2]                      # block-row sums (q, kd) f32
@@ -239,7 +281,7 @@ def _peak_group_epilogue(dets, det_ref, rot_ref, *, n2: int, radius: int):
 
 
 def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
-                     peak_radius: int = 0):
+                     peak_radius: int = 0, integer: bool = False):
     """CFAR detection pass fused into the front-end kernel: the exact
     counting formulation of ops/cfar_pallas._kernel_detect_scaled (float
     mode, q_min probing), evaluated on the in-VMEM mag slices so the
@@ -259,6 +301,13 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
     half-window means for GO/SO (ops/cfar._ref_sums semantics) — accumulated
     in the same separable association order as the XLA path so the fused and
     standalone decisions agree on the golden frames.
+
+    ``integer=True`` (the fixed-point fused kernel): the mag planes hold
+    int16-magnitude values in f32; all divisions become exact floors (the
+    operands stay < 2^24 so the f32 quotient's floor is the true integer
+    floor — the argument of ops/cfar_pallas._kernel_detect's exact_div) and
+    the threshold decision uses the integer semantics of ops/cfar.cfar_2d
+    (est*scale threshold; ceil-division counting for OS).
 
     The map rows are interleaved across the n2 slices (true row
     r = n2*q + k2 lives at mags[k2][q]), so a window offset of dr true rows
@@ -323,6 +372,10 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
                 acc = row if acc is None else acc + row
             return acc
 
+        def fdiv(s, n):
+            # Exact integer floor(s / n) on int-valued f32 (s < 2^24).
+            return jnp.floor(s / np.float32(n)) if integer else s / n
+
         if cfar.variant != "os":
             # CA/GO/SO: the estimate is a training-window mean, computed
             # directly from the rotated slices (no rank counting pass).
@@ -332,20 +385,26 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
             sum_refs = (box(-hr, hr, -hd, hd) - box(-gr, gr, -gd, gd)
                         if cfar.variant == "ca" or scale is None else None)
             if cfar.variant == "ca":
-                est = sum_refs / cfar.n_ref
+                est = fdiv(sum_refs, cfar.n_ref)
             else:
                 n_half = cfar.ref_range * cfar.win_doppler
-                ml = half(-hr, -gr - 1) / n_half
-                mg = half(gr + 1, hr) / n_half
+                ml = fdiv(half(-hr, -gr - 1), n_half)
+                mg = fdiv(half(gr + 1, hr), n_half)
                 est = (jnp.maximum(ml, mg) if cfar.variant == "go"
                        else jnp.minimum(ml, mg))
             if scale is None:
                 # Per-cell adaptive scale: est vs the full training mean
                 # (os_cfar_2d.vhd:187-199 rule applied to this variant).
-                mean = sum_refs / cfar.n_ref
-                sc = jnp.where(est > 1.5 * mean, cfar.scale_max,
-                               jnp.where(est < 0.5 * mean, cfar.scale_min,
-                                         cfar.scale_nom))
+                mean = fdiv(sum_refs, cfar.n_ref)
+                if integer:
+                    halfm = jnp.floor(mean * 0.5)        # mean >> 1
+                    sc = jnp.where(est > mean + halfm, cfar.scale_max,
+                                   jnp.where(est < halfm, cfar.scale_min,
+                                             cfar.scale_nom))
+                else:
+                    sc = jnp.where(est > 1.5 * mean, cfar.scale_max,
+                                   jnp.where(est < 0.5 * mean, cfar.scale_min,
+                                             cfar.scale_nom))
                 scale_f = jnp.where(so != 0, so, sc).astype(jnp.float32)
             det = jnp.where(cut > est * scale_f, cut, jnp.zeros_like(cut))
             if peak_radius > 0:
@@ -363,9 +422,14 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
             # tree), at ~35 plane-ops instead of n_ref=128 direct adds.
             gr, gd = cfar.guard_range, cfar.guard_doppler
             sum_refs = box(-hr, hr, -hd, hd) - box(-gr, gr, -gd, gd)
-            mean = sum_refs / cfar.n_ref
-            t_hi = 1.5 * mean
-            t_lo = 0.5 * mean
+            mean = fdiv(sum_refs, cfar.n_ref)
+            if integer:
+                halfm = jnp.floor(mean * 0.5)            # mean >> 1
+                t_hi = mean + halfm
+                t_lo = halfm
+            else:
+                t_hi = 1.5 * mean
+                t_lo = 0.5 * mean
             cnt_hi = jnp.zeros((n1, nd), jnp.int32)
             cnt_lo = jnp.zeros((n1, nd), jnp.int32)
             for dr, dd in offsets:
@@ -376,13 +440,18 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
                            jnp.where(cnt_lo < k, cfar.scale_min,
                                      cfar.scale_nom))
             scale_f = jnp.where(so != 0, so, sc).astype(jnp.float32)
-        # Exact q_min: smallest float whose rounded product with scale
-        # reaches cut (see ops/cfar_pallas._kernel_detect float pass C).
-        ti = pltpu.bitcast(cut / scale_f, jnp.int32)
-        q = pltpu.bitcast(ti + 1, jnp.float32)
-        for delta in (0, -1, -2):
-            c = pltpu.bitcast(ti + delta, jnp.float32)
-            q = jnp.where(c * scale_f >= cut, c, q)
+        if integer:
+            # Integer threshold semantics (cfar_2d / _kernel_detect
+            # exact_div): refs*scale >= cut  <=>  refs >= ceil(cut/scale).
+            q = jnp.floor((cut - 1.0) / scale_f) + 1.0
+        else:
+            # Exact q_min: smallest float whose rounded product with scale
+            # reaches cut (see ops/cfar_pallas._kernel_detect float pass C).
+            ti = pltpu.bitcast(cut / scale_f, jnp.int32)
+            q = pltpu.bitcast(ti + 1, jnp.float32)
+            for delta in (0, -1, -2):
+                c = pltpu.bitcast(ti + delta, jnp.float32)
+                q = jnp.where(c * scale_f >= cut, c, q)
         cnt = jnp.zeros((n1, nd), jnp.int32)
         for dr, dd in offsets:
             cnt = cnt + (ref(dr, dd) >= q).astype(jnp.int32)
@@ -505,6 +574,286 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
         stats_ref[0, 1] = ndet
     elif cfar is not None:
         scale_ref[0][...] = _block_scale(mags, n2=n2, cfar=cfar)
+
+
+def _bfp_scale(pk):
+    """2^-s with s = max(0, ceil(log2(max(pk, 1)/2^15))) — the BFP exponent
+    of ops/fft.bfp_quantize / golden.fixed_point.bfp_fft, computed exactly
+    from the f32 exponent bits (no transcendentals): for p >= 1,
+    ceil(log2 p) = biased_exp - 127 + (mantissa != 0)."""
+    p = jnp.maximum(pk, 1.0)
+    bits = pltpu.bitcast(p, jnp.int32)
+    e = (bits >> 23) - 127
+    cl2 = e + ((bits & 0x7fffff) != 0).astype(jnp.int32)
+    s = jnp.maximum(cl2 - 15, 0)
+    return pltpu.bitcast((127 - s) << 23, jnp.float32)
+
+
+def _kernel_fixed(re_ref, im_ref, winr_ref, wind_ref, twr_ref, twi_ref,
+                  c1h_ref, c1m_ref, c1l_ref, s1h_ref, s1m_ref, s1l_ref,
+                  cdh_ref, cdm_ref, cdl_ref, sdh_ref, sdm_ref, sdl_ref,
+                  ctl_ref, *rest,
+                  n1: int, n2: int, c2r, c2i, cfar, notch_mode: int,
+                  transient: str, rnd: int, shift: int,
+                  emit_mag: bool, peak_radius: int, emit_topk: bool):
+    """Fixed-point (bit-faithful) fused front-end: the integer semantics of
+    models/pipeline.fixed_path — int Q15 windows with saturation counting
+    (window_multiplier.vhd:119-163), FFTs at bf16x6 (== XLA
+    Precision.HIGHEST's operand split) with per-transform BFP quantization
+    (xfft block-floating-point, design_notes §3), saturating MTI
+    (doppler_notch.vhd:75-93), integer alpha-max-beta-min magnitude, and the
+    integer CFAR decision — all in one VMEM-resident kernel.
+
+    Values travel as int16/int17-ranged *integers held in f32* (exact) except
+    the Q15 window products, which need int32; the FFT stages are the only
+    non-integer arithmetic and are re-quantized by the BFP barriers, exactly
+    like the XLA fixed chain.
+    """
+    rest = list(rest)
+    det_ref = rest.pop(0)
+    mag_ref = rest.pop(0) if emit_mag else None
+    stats_ref = rest.pop(0)
+    rmax_ref = rest.pop(0) if emit_topk else None
+    rot_ref = rest.pop(0)
+    byp = ctl_ref[0]
+    so = ctl_ref[1]
+
+    def mm6(x, h_ref, m_ref, l_ref, dn):
+        """bf16x6 real matmul: 3-term bf16 split of x (x == xh+xm+xl to
+        ~2^-25 rel) against the pre-split 3-term matrix; the 6 significant
+        cross terms — XLA Precision.HIGHEST's error model."""
+        xh = x.astype(jnp.bfloat16)
+        r = x - xh.astype(jnp.float32)
+        xm = r.astype(jnp.bfloat16)
+        xl = (r - xm.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = lambda a, b: jax.lax.dot_general(
+            a, b, dimension_numbers=dn, preferred_element_type=jnp.float32)
+        return ((d(xl, h_ref[...]) + d(xm, m_ref[...]) + d(xh, l_ref[...]))
+                + (d(xm, h_ref[...]) + d(xh, m_ref[...])) + d(xh, h_ref[...]))
+
+    dn1 = (((1,), (0,)), ((), ()))                   # contract j1 / samples
+    dn0 = (((0,), (0,)), ((), ()))                   # contract chirp axis
+    nd = re_ref.shape[0]
+    sat = jnp.zeros((), jnp.int32)
+
+    def iwin(x_i32, w):
+        """Q15 window multiply + round + int16 saturate
+        (ops/window.window_apply_fixed)."""
+        p = x_i32 * w
+        sh = (p + rnd) >> shift
+        s_ = jnp.sum(((sh > 32767) | (sh < -32768)).astype(jnp.int32))
+        return jnp.clip(sh, -32768, 32767).astype(jnp.float32), s_
+
+    # 1. Integer range window on the n2 lane slices.
+    xr_s, xi_s = [], []
+    for j2 in range(n2):
+        w = winr_ref[j2, :]
+        vr, s1 = iwin(re_ref[:, pl.ds(j2 * n1, n1)].astype(jnp.int32), w)
+        vi, s2 = iwin(im_ref[:, pl.ds(j2 * n1, n1)].astype(jnp.int32), w)
+        sat = sat + s1 + s2
+        xr_s.append(vr)
+        xi_s.append(vi)
+
+    # 2-4. Range FFT: outer DFT_n2 (f32 VPU) + twiddle + inner DFT_n1 at
+    # bf16x6 on the MXU.
+    rr_s, ri_s = [], []
+    for k2 in range(n2):
+        if n2 == 1:
+            br, bi = xr_s[0], xi_s[0]
+        else:
+            br = bi = None
+            for j2 in range(n2):
+                cr_, ci_ = float(c2r[j2, k2]), float(c2i[j2, k2])
+                tr = xr_s[j2] * cr_ - xi_s[j2] * ci_
+                ti = xr_s[j2] * ci_ + xi_s[j2] * cr_
+                br = tr if br is None else br + tr
+                bi = ti if bi is None else bi + ti
+            twr = twr_ref[k2, :]
+            twi = twi_ref[k2, :]
+            br, bi = br * twr - bi * twi, br * twi + bi * twr
+        rr_s.append(mm6(br, c1h_ref, c1m_ref, c1l_ref, dn1)
+                    - mm6(bi, s1h_ref, s1m_ref, s1l_ref, dn1))
+        ri_s.append(mm6(br, s1h_ref, s1m_ref, s1l_ref, dn1)
+                    + mm6(bi, c1h_ref, c1m_ref, c1l_ref, dn1))
+
+    # 5. BFP quantize over the range transform (per chirp row, spanning all
+    # slices — ops/fft.bfp_quantize axis=1 on the (nd, nr) map).
+    pk = None
+    for k2 in range(n2):
+        m_ = jnp.maximum(jnp.abs(rr_s[k2]), jnp.abs(ri_s[k2]))
+        row = jnp.max(m_, axis=1, keepdims=True)
+        pk = row if pk is None else jnp.maximum(pk, row)
+    bsc = _bfp_scale(pk)                               # (nd, 1)
+
+    def qz(x, sc):
+        return jnp.clip(jnp.round(x * sc), -32768.0, 32767.0)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nd, n1), 0)
+
+    def mti(x):
+        """Saturating MTI along the chirp (sublane) axis
+        (ops/notch.mti_notch_fixed: zero-padded delays, int16 clip,
+        transient chirps zeroed unless 'passthrough', traced bypass)."""
+        d1 = jnp.where(rows >= 1, pltpu.roll(x, 1, 0), 0.0)
+        if notch_mode == 2:
+            y = x - d1
+        else:
+            d2 = jnp.where(rows >= 2, pltpu.roll(x, 2, 0), 0.0)
+            y = x - 2.0 * d1 + d2
+        y = jnp.clip(y, -32768.0, 32767.0)
+        if transient == "zero":
+            y = jnp.where(rows >= notch_mode - 1, y, 0.0)
+        return jnp.where(byp != 0, x, y)
+
+    wd = wind_ref[...]                                 # (nd, 1) int32
+    mags = []
+    sat_d = jnp.zeros((), jnp.int32)
+    for k2 in range(n2):
+        # 6. quantize + MTI + integer Doppler window.
+        xr, s1 = iwin(mti(qz(rr_s[k2], bsc)).astype(jnp.int32), wd)
+        xi, s2 = iwin(mti(qz(ri_s[k2], bsc)).astype(jnp.int32), wd)
+        sat_d = sat_d + s1 + s2
+        # 7. Doppler DFT (contract chirps, bf16x6) -> (n1, nd) range-major.
+        yr = (mm6(xr, cdh_ref, cdm_ref, cdl_ref, dn0)
+              - mm6(xi, sdh_ref, sdm_ref, sdl_ref, dn0))
+        yi = (mm6(xr, sdh_ref, sdm_ref, sdl_ref, dn0)
+              + mm6(xi, cdh_ref, cdm_ref, cdl_ref, dn0))
+        # 8. BFP quantize per range bin (axis=1 over Doppler).
+        pkd = jnp.max(jnp.maximum(jnp.abs(yr), jnp.abs(yi)), axis=1,
+                      keepdims=True)
+        scd = _bfp_scale(pkd)
+        yr = qz(yr, scd)
+        yi = qz(yi, scd)
+        # 9. Integer alpha-max-beta-min: max + (min>>2) + (min>>3)
+        # (ops/magnitude.magnitude_fixed; exact floors on int-valued f32).
+        ar = jnp.abs(yr)
+        ai = jnp.abs(yi)
+        mx = jnp.maximum(ar, ai)
+        mn = jnp.minimum(ar, ai)
+        m = mx + jnp.floor(mn * 0.25) + jnp.floor(mn * 0.125)
+        if mag_ref is not None:
+            mag_ref[k2] = m
+        mags.append(m)
+
+    # 10. Integer CFAR decision (+ peak grouping) on the VMEM slices.
+    scale = (_block_scale(mags, n2=n2, cfar=cfar, integer=True)
+             if cfar.scale_mode == "block" else None)
+    _detect_epilogue(mags, scale, so, det_ref, rot_ref, n2=n2, cfar=cfar,
+                     peak_radius=peak_radius, integer=True)
+    ndet = jnp.zeros((), jnp.int32)
+    if emit_topk:
+        for k2 in range(n2):
+            d = det_ref[k2]
+            rmax_ref[k2] = jnp.max(d, axis=1, keepdims=True)
+            ndet = ndet + jnp.sum((d > 0.0).astype(jnp.int32))
+    stats_ref[0, 0] = sat + sat_d
+    stats_ref[0, 1] = ndet
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("notch_mode", "transient", "coef_width",
+                     "window_rounding", "interpret", "cfar", "emit_mag",
+                     "peak_group_radius", "emit_topk"))
+def rdm_frontend_fixed(iq: jnp.ndarray, mti_bypass=False,
+                       scale_override=0, notch_mode: int = 2,
+                       transient: str = "zero", coef_width: int = 16,
+                       window_rounding: str = "unbiased",
+                       interpret: bool = False, cfar=None,
+                       emit_mag: bool = True, peak_group_radius: int = 0,
+                       emit_topk: bool = True):
+    """Fixed-point fused front-end+detect for one frame: iq int16
+    (nd, nr, 2) -> the bit-faithful integer chain of
+    models/pipeline.fixed_path in ONE Pallas kernel (see _kernel_fixed).
+    Same shape/geometry constraints and return convention as
+    ``rdm_frontend(detect=True)`` — ``(det_slices, mag | None,
+    saturation_count, row_max, n_dets)``, all integer-valued (det/mag in
+    f32 carriers; the 3rd element is the window saturation count, the
+    fixed chain's status_saturation analog — fixed mode has no nonfinite
+    concept).
+
+    Numerics contract: identical integer semantics per stage; the FFTs run
+    at bf16x6 (the same operand split XLA Precision.HIGHEST uses on the
+    MXU), so pre-BFP transform values may differ from the XLA chain in f32
+    ulps and quantized values by <=1 LSB — the same tolerance class as the
+    existing fixed-vs-golden contract (CLAUDE.md parity invariants).
+    Detection-set parity vs the XLA fixed chain is pinned by
+    tests/test_frontend_fixed.py.
+    """
+    nd, nr, _ = iq.shape
+    n1, n2, c2r, c2i, twr, twi = _ct_split(nr)
+    if n2 > 16:
+        raise ValueError(f"n_range={nr}: outer radix {n2} > 16")
+    if cfar is None or cfar.variant not in ("os", "ca", "go", "so") \
+            or cfar.edge_mode != "wrap":
+        raise ValueError("rdm_frontend_fixed needs a wrap-edge CfarParams "
+                         "with variant os/ca/go/so")
+    if cfar.scale_mode == "block" and (
+            cfar.scale_block != n2 or nd % cfar.scale_block):
+        raise ValueError(
+            f"in-kernel block scale needs scale_block == n_range/128 == "
+            f"{n2} and n_doppler % scale_block == 0; got {cfar}")
+    if (cfar.halo_range + n2 - 1) // n2 > _DET_PAD:
+        raise ValueError(f"halo_range {cfar.halo_range} exceeds the "
+                         f"detect scratch row pad ({_DET_PAD} x n2)")
+    if (peak_group_radius + n2 - 1) // n2 > _DET_PAD:
+        raise ValueError(f"peak_group_radius {peak_group_radius} exceeds "
+                         f"the detect scratch row pad ({_DET_PAD} x n2)")
+
+    from .window import hamming_q15
+    winr = np.asarray(hamming_q15(nr, coef_width),
+                      np.int32).reshape(n2, n1)
+    wind = np.asarray(hamming_q15(nd, coef_width), np.int32).reshape(nd, 1)
+    shift = coef_width - 2
+    rnd = (1 << shift) if window_rounding == "biased" else (1 << (shift - 1))
+    c1r, c1i = dft_matrices(n1)
+    cdr, cdi = dft_matrices(nd)
+    mats = [jnp.asarray(x) for c in (c1r, c1i, cdr, cdi)
+            for x in _split_matrix3(c)]
+
+    ctl = jnp.stack([jnp.asarray(mti_bypass).astype(jnp.int32),
+                     jnp.asarray(scale_override).astype(jnp.int32)])
+
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
+    slices = jax.ShapeDtypeStruct((n2, n1, nd), jnp.float32)
+    operands = [iq[..., 0], iq[..., 1], jnp.asarray(winr), jnp.asarray(wind),
+                jnp.asarray(twr), jnp.asarray(twi), *mats, ctl]
+    in_specs = [vmem()] * 18 + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    out_shape = [slices]                                    # det
+    if emit_mag:
+        out_shape.append(slices)                            # mag
+    out_specs = [vmem()] * len(out_shape)
+    out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.int32))  # sat, ndet
+    out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    if emit_topk:
+        out_shape.append(jax.ShapeDtypeStruct((n2, n1, 1), jnp.float32))
+        out_specs.append(vmem())                            # row maxes
+    n_rot = max(cfar.win_doppler, 2 * peak_group_radius + 1)
+    scratch = [pltpu.VMEM((n_rot, n2, n1 + 2 * _DET_PAD, nd), jnp.float32)]
+    out = pl.pallas_call(
+        functools.partial(_kernel_fixed, n1=n1, n2=n2, c2r=c2r, c2i=c2i,
+                          cfar=cfar, notch_mode=notch_mode,
+                          transient=transient, rnd=rnd, shift=shift,
+                          emit_mag=emit_mag, peak_radius=peak_group_radius,
+                          emit_topk=emit_topk),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **kwargs,
+    )(*operands)
+    det_s = out[0]
+    mag = (jnp.swapaxes(out[1], 0, 1).reshape(nr, nd) if emit_mag else None)
+    if not emit_topk:
+        return det_s, mag, out[-1][0, 0], None, None
+    stats = out[-2]
+    rmax = out[-1].reshape(n2 * n1)
+    return det_s, mag, stats[0, 0], rmax, stats[0, 1]
 
 
 @functools.partial(

@@ -1,0 +1,130 @@
+"""Fused fixed-point front-end kernel (ops/frontend_pallas.rdm_frontend_fixed).
+
+The fixed-mode parity chain has three links:
+
+  golden fixed model  ==  XLA fixed pipeline  ~=  fused fixed kernel
+
+The first link is exact (detection sets) and pinned elsewhere
+(tests/test_golden_frame.py).  The fused kernel reproduces the identical
+integer semantics per stage but computes the FFTs with a bf16x6 operand
+split (the XLA HIGHEST error model), so pre-BFP transform values differ in
+f32 ulps and quantized values by a few LSB — the tests here pin the
+meaningful contract: *exact detection-set parity* with the XLA fixed chain
+(and hence the golden model) plus exact saturation counts, across scale
+modes, variants, peak grouping and the runtime controls.
+
+All tests run the Pallas interpreter on CPU with the same bf16 splits the
+TPU uses (jnp.astype(bfloat16) rounds identically), so the numerics model
+under test is the hardware one.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+
+from fmcw_tpu import RadarParams, CfarParams
+from fmcw_tpu.golden import reference
+from fmcw_tpu.models import pipeline as pl
+
+
+def _params(scale_mode="cell", variant="os", **cfar_kw):
+    return RadarParams(
+        n_range=256, n_doppler=64,
+        cfar=CfarParams(scale_mode=scale_mode, scale_block=2,
+                        variant=variant, **cfar_kw))
+
+
+def _run_pair(p, frame, pg=0, **kw):
+    base = dict(mode="fixed", include_maps=True, peak_group_radius=pg)
+    out_x = pl.make_processor(p, **base)(frame, **kw)
+    out_k = pl.make_processor(p, frontend="pallas", **base)(frame, **kw)
+    return (jax.tree.map(np.asarray, out_x), jax.tree.map(np.asarray, out_k))
+
+
+def _det_set(out):
+    return set(zip(*np.nonzero(out["det_map"])))
+
+
+@pytest.mark.parametrize("scale_mode,variant,pg", [
+    ("cell", "os", 0),
+    ("block", "os", 0),
+    ("block", "os", 2),
+    ("cell", "ca", 0),
+    ("cell", "so", 0),
+    ("block", "go", 0),
+])
+def test_fixed_fused_matches_xla_chain(scale_mode, variant, pg):
+    p = _params(scale_mode, variant)
+    frame = pl.complex_to_iq(reference.two_target_frame(p, seed=3))
+    out_x, out_k = _run_pair(p, frame, pg=pg)
+    # Exact detection-set parity, exact count, integer dtypes.
+    assert _det_set(out_x) == _det_set(out_k)
+    assert out_x["n_dets"] == out_k["n_dets"]
+    assert out_k["mag_map"].dtype == out_x["mag_map"].dtype
+    assert out_k["mag"].dtype == out_x["mag"].dtype
+    # Quantized magnitudes within the bf16x6-vs-f32 LSB tolerance.
+    d = np.abs(out_x["mag_map"].astype(np.int64)
+               - out_k["mag_map"].astype(np.int64))
+    assert d.max() <= 8, d.max()
+    # Extracted top-K agrees as a set (tie order may differ with equal mags).
+    v = out_x["valid"]
+    assert np.array_equal(v, out_k["valid"])
+    sx = set(zip(out_x["range_bin"][v].tolist(),
+                 out_x["doppler_bin"][v].tolist()))
+    sk = set(zip(out_k["range_bin"][v].tolist(),
+                 out_k["doppler_bin"][v].tolist()))
+    assert sx == sk
+
+
+def test_fixed_fused_controls_and_saturation():
+    """Runtime controls (mti_bypass, scale_override) and the saturation
+    counter (window_multiplier.vhd:151-158 analog) match the XLA chain
+    exactly on a saturating stimulus."""
+    p = _params("cell", "os")
+    hot = np.clip(np.asarray(reference.two_target_frame(p, seed=5)) * 40,
+                  -32768, 32767)
+    hot = np.stack([hot.real, hot.imag], -1).astype(np.int16)
+    for byp, so in ((False, 0), (True, 0), (False, 3)):
+        out_x, out_k = _run_pair(p, hot, mti_bypass=byp, scale_override=so)
+        assert out_x["saturation_count"] == out_k["saturation_count"]
+        assert out_x["saturation_count"] > 0
+        assert _det_set(out_x) == _det_set(out_k), (byp, so)
+
+
+def test_fixed_fused_full_size_golden_frame():
+    """Full 1024x128 CPI: the fused fixed kernel reproduces the XLA fixed
+    chain's detection set on the golden two-target frame — and therefore
+    the golden model's (tests/test_golden_frame.py pins that link)."""
+    p = RadarParams()
+    frame = pl.complex_to_iq(reference.two_target_frame(p))
+    out_x, out_k = _run_pair(p, frame)
+    assert _det_set(out_x) == _det_set(out_k)
+    assert out_x["n_dets"] == out_k["n_dets"]
+
+
+def test_fixed_fused_vs_golden_model():
+    """Direct link: fused fixed kernel detections == golden numpy fixed
+    chain detections (the reference-parity oracle), mid-size frame."""
+    from fmcw_tpu.golden import fixed_point as fx
+
+    p = _params("cell", "os")
+    z = reference.two_target_frame(p, seed=7)
+    frame = pl.complex_to_iq(z)
+    out_k = jax.tree.map(
+        np.asarray,
+        pl.make_processor(p, mode="fixed", frontend="pallas",
+                          include_maps=True)(frame))
+    _, det_g = reference.process_frame_fixed(z, p)
+    assert _det_set(out_k) == set(zip(*np.nonzero(det_g)))
+
+
+def test_fixed_fused_gate_raises_on_unsupported():
+    # reflect edges are outside the fused kernel's wrap layout.
+    p = _params("cell", "os", edge_mode="reflect")
+    with pytest.raises(ValueError, match="fused fixed-point"):
+        pl.make_processor(p, mode="fixed", frontend="pallas")
+    # auto never routes fixed mode to the kernel (bit-identical default).
+    proc = pl.make_processor(_params(), mode="fixed", frontend="auto")
+    assert proc is not None
