@@ -128,15 +128,22 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
         frontend = ("pallas" if (jax.default_backend() == "tpu"
                                  and fft_method == "matmul")
                     else "xla")
+    # mode='fixed' follows the single-chip rule (models/pipeline.py): the
+    # fused fixed kernel is explicit opt-in only — auto keeps the XLA chain
+    # so fixed mode stays bit-identical across mesh shapes.
     use_fused = (frontend == "pallas" and sp == 1
-                 and PL.fused_detect_supported(p, mode, peak_group_radius,
-                                               cfar_method))
+                 and (PL.fused_detect_supported(p, mode, peak_group_radius,
+                                                cfar_method)
+                      or (explicit_pallas and mode == "fixed"
+                          and PL.fused_fixed_detect_supported(
+                              p, peak_group_radius, cfar_method))))
     if explicit_pallas and not use_fused:
         raise ValueError(
             "frontend='pallas' needs a pure frame-DP mesh (sp == 1, whole "
-            "frames per chip), mode='float32', peak_group_radius <= 8, "
-            "cfar_method in ('auto', 'pallas'), and fused-detect-compatible "
-            "CfarParams (os/ca/go/so variant, wrap edges, n_range = n2*128)")
+            "frames per chip), mode in ('float32', 'fixed'), "
+            "peak_group_radius <= 8, cfar_method in ('auto', 'pallas'), and "
+            "fused-detect-compatible CfarParams (os/ca/go/so variant, wrap "
+            "edges, n_range = n2*128)")
 
     def frame_fn(iq, mti_bypass, scale_override):
         """Per-(dp-shard, sp-shard) single-frame body.  iq local shape:
@@ -151,7 +158,8 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
                 mti_transient=mti_transient,
                 magnitude_exact=magnitude_exact,
                 include_maps=include_maps,
-                peak_group_radius=peak_group_radius)
+                peak_group_radius=peak_group_radius,
+                mode=mode, window_rounding=window_rounding)
         sp_idx = jax.lax.axis_index("sp")
 
         if mode == "float32":

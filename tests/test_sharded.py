@@ -162,3 +162,35 @@ def test_sharded_fused_frontend_dp_only():
     with pytest.raises(ValueError, match="frame-DP"):
         sh.make_sharded_processor(M.make_mesh(dp=1, sp=8), p,
                                   mode="float32", frontend="pallas")
+
+
+def test_sharded_fused_fixed_dp_only():
+    """Pure frame-DP mesh with the opt-in fused fixed-point kernel
+    (mode='fixed', frontend='pallas'): detections and saturation counts
+    bit-identical to the single-chip fused fixed path."""
+    import dataclasses
+    from fmcw_tpu import RadarParams
+
+    p = RadarParams(n_range=256, n_doppler=32)
+    p = p.replace(cfar=dataclasses.replace(p.cfar, scale_mode="block",
+                                           scale_block=2))
+    frames = [ref.two_target_frame(p, seed=s) for s in range(8)]
+    batch = np.stack([pl.complex_to_iq(f) for f in frames])
+    mesh = M.make_mesh(dp=8, sp=1)
+    proc = sh.make_sharded_processor(mesh, p, mode="fixed",
+                                     frontend="pallas")
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = pl.make_batch_processor(p, mode="fixed", include_maps=False,
+                                     frontend="pallas")
+    want = jax.tree.map(np.asarray, single(batch))
+    assert np.array_equal(out["n_dets"], want["n_dets"])
+    assert np.array_equal(out["valid"], want["valid"])
+    v = want["valid"]
+    assert np.array_equal(out["range_bin"][v], want["range_bin"][v])
+    assert np.array_equal(out["mag"][v], want["mag"][v])
+    assert np.array_equal(out["saturation_count"], want["saturation_count"])
+    assert out["mag"].dtype == want["mag"].dtype
+    # Still invalid on an sp-sharded mesh.
+    with pytest.raises(ValueError, match="frame-DP"):
+        sh.make_sharded_processor(M.make_mesh(dp=1, sp=8), p,
+                                  mode="fixed", frontend="pallas")
