@@ -78,6 +78,38 @@ def test_fixed_fused_matches_xla_chain(scale_mode, variant, pg):
     assert sx == sk
 
 
+@pytest.mark.parametrize("notch_mode,transient,rounding", [
+    (3, "zero", "unbiased"),
+    (2, "passthrough", "unbiased"),
+    (2, "zero", "biased"),
+])
+def test_fixed_fused_numeric_options(notch_mode, transient, rounding):
+    """3-pulse MTI, hardware passthrough transient, and the hardware's
+    biased window rounding follow the XLA fixed chain.  The 3-pulse
+    canceller doubles the slow-time gain, so the range-stage <=1 LSB BFP
+    quantize differences compound into a few-LSB Doppler-stage spread in
+    the target rows — marginal CFAR map cells may flip (the same tolerance
+    class as the fixed-vs-golden contract); the extracted top-K detection
+    set must still match exactly."""
+    p = _params("cell", "os").replace(notch_mode=notch_mode)
+    frame = pl.complex_to_iq(reference.two_target_frame(p, seed=11))
+    base = dict(mode="fixed", include_maps=True, mti_transient=transient,
+                window_rounding=rounding)
+    out_x = jax.tree.map(np.asarray, pl.make_processor(p, **base)(frame))
+    out_k = jax.tree.map(
+        np.asarray, pl.make_processor(p, frontend="pallas", **base)(frame))
+    sym = _det_set(out_x) ^ _det_set(out_k)
+    assert len(sym) <= max(2, out_x["n_dets"] // 100), sorted(sym)
+    assert abs(int(out_x["n_dets"]) - int(out_k["n_dets"])) <= 4
+    assert out_x["saturation_count"] == out_k["saturation_count"]
+    vx, vk = out_x["valid"], out_k["valid"]
+    tx = set(zip(out_x["range_bin"][vx].tolist(),
+                 out_x["doppler_bin"][vx].tolist()))
+    tk = set(zip(out_k["range_bin"][vk].tolist(),
+                 out_k["doppler_bin"][vk].tolist()))
+    assert tx == tk
+
+
 def test_fixed_fused_controls_and_saturation():
     """Runtime controls (mti_bypass, scale_override) and the saturation
     counter (window_multiplier.vhd:151-158 analog) match the XLA chain
