@@ -107,13 +107,15 @@ def main():
         p_ca = p.replace(cfar=dataclasses.replace(p.cfar, variant="ca",
                                                   scale_mode="block"))
         configs += [
-            # Fused CA-CFAR variant (different detector — parity=False by
-            # construction, excluded from the headline; logged for the
-            # BASELINE config-4 variant sweep).  Measured ~+10% over the
-            # fused OS config (box-sum estimate, no rank counting pass).
+            # Fused CA-CFAR variant: a DIFFERENT detector — excluded from
+            # the headline by the _headline=False flag (the frame-0
+            # range_bin parity probe can pass coincidentally on the golden
+            # frame); logged for the BASELINE config-4 variant sweep.
+            # Measured ~+10-25% over the fused OS config (box-sum estimate,
+            # no rank counting pass).
             ("pallas-frontend+fused-detect-ca/HIGH", p_ca,
              dict(frontend="pallas", precision=jax.lax.Precision.HIGH,
-                  cfar_method="auto")),
+                  cfar_method="auto", _headline=False)),
             ("pallas-cfar-blockscale/ct-HIGH", p_block,
              dict(fft_method="ct", precision=jax.lax.Precision.HIGH,
                   frontend="xla", cfar_method="auto")),
@@ -135,14 +137,15 @@ def main():
                                             precision=jax.lax.Precision.HIGH,
                                             frontend="xla",
                                             cfar_method="auto")),
-            # Bit-faithful fixed-point mode (parity=False by construction —
-            # different detector numerics than the float headline): the XLA
+            # Bit-faithful fixed-point mode (different detector numerics
+            # than the float headline — never headline-eligible): the XLA
             # integer chain vs the fused fixed-point kernel (opt-in
-            # frontend="pallas"; measured ~+70% same-run).
+            # frontend="pallas"; measured ~+70-85% same-run).
             ("fixed-xla", p, dict(mode="fixed", frontend="xla",
-                                  cfar_method="auto")),
+                                  cfar_method="auto", _headline=False)),
             ("fixed-fused-pallas", p, dict(mode="fixed", frontend="pallas",
-                                           cfar_method="auto")),
+                                           cfar_method="auto",
+                                           _headline=False)),
         ]
     ref_out = None
     for name, p_cfg, kw in configs:
@@ -150,6 +153,7 @@ def main():
             kw = dict(kw)
             sub = kw.pop("_batch", None)
             mode = kw.pop("mode", "float32")
+            headline = kw.pop("_headline", True)
             bd = batch_dev if sub is None else jax.device_put(batch[:sub])
             proc = pl.make_batch_processor(p_cfg, mode=mode,
                                            include_maps=False, **kw)
@@ -162,7 +166,7 @@ def main():
                 v = ref_out["valid"][0]
                 ok = bool(np.array_equal(out["range_bin"][0][v],
                                          ref_out["range_bin"][0][v]))
-            results[name] = (fps, ok)
+            results[name] = (fps, ok and headline)
             log(f"{name}: {fps:.1f} frames/s  detection-parity={ok}")
         except Exception as e:  # pragma: no cover
             log(f"{name}: FAILED {type(e).__name__}: {e}")
