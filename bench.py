@@ -166,12 +166,13 @@ def main():
                 v = ref_out["valid"][0]
                 ok = bool(np.array_equal(out["range_bin"][0][v],
                                          ref_out["range_bin"][0][v]))
-            results[name] = (fps, ok and headline)
+            results[name] = (fps, ok, headline)
             log(f"{name}: {fps:.1f} frames/s  detection-parity={ok}")
         except Exception as e:  # pragma: no cover
             log(f"{name}: FAILED {type(e).__name__}: {e}")
 
-    best = max((fps for fps, ok in results.values() if ok), default=0.0)
+    best = max((fps for fps, ok, headline in results.values()
+                if ok and headline), default=0.0)
     print(json.dumps({
         "metric": "radar frames/s per chip (range-Doppler+CFAR, 1024x128)",
         "value": round(best, 1),

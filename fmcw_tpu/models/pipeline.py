@@ -99,13 +99,23 @@ def fused_fixed_detect_supported(p: RadarParams, peak_group_radius: int = 0,
                                  include_debug: bool = False) -> bool:
     """Can mode='fixed' run as the fused fixed-point kernel
     (frontend_pallas.rdm_frontend_fixed)?  Same geometry gate as the float
-    fused path.  NOTE this path is explicit opt-in (frontend='pallas') —
-    'auto' keeps the XLA chain for fixed mode, preserving the
-    "fixed mode is bit-identical everywhere" invariant (the fused kernel's
-    bf16x6 FFTs differ from the XLA chain's in quantized ulps; see the
+    fused path, plus the integer-exactness bound: configs whose decision
+    uses training-window SUMS (CA/GO/SO estimates, or the per-cell
+    adaptive-scale mean) carry them as integers in f32, exact only while
+    the full-window sum stays below 2^24 (max magnitude 45056 => at most
+    372 window cells incl. guards; the default 13x11 window is 143).
+    OS + block scale decides purely by counting (plus exact int32 block
+    sums), so it has no window-size bound beyond the geometry gate.
+    NOTE this path is explicit opt-in (frontend='pallas') — 'auto' keeps
+    the XLA chain for fixed mode, preserving the "fixed mode is
+    bit-identical everywhere" invariant (the fused kernel's bf16x6 FFTs
+    differ from the XLA chain's in quantized ulps; see the
     rdm_frontend_fixed numerics contract)."""
-    return _fused_geometry_ok(p, peak_group_radius, cfar_method,
-                              include_debug)
+    needs_sums = p.cfar.variant != "os" or p.cfar.scale_mode == "cell"
+    return (_fused_geometry_ok(p, peak_group_radius, cfar_method,
+                               include_debug)
+            and (not needs_sums
+                 or p.cfar.win_range * p.cfar.win_doppler * 45056 < 2 ** 24))
 
 
 def fused_detect_frame(p: RadarParams, iq, mti_bypass, scale_override, *,

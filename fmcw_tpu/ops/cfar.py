@@ -113,8 +113,9 @@ def block_scale_map(mag_map: jnp.ndarray, cfar: CfarParams,
       * reductions are native-tile reshape-reduces ((n, B, lanes) sum over
         the middle sublane axis);
       * the hi and lo indicators are **packed into one integer**
-        (ind_hi + ind_lo << 10) so one reduce chain serves both counts
-        (counts <= 576 < 1024, no carry between fields);
+        (ind_hi + ind_lo << 12) so one reduce chain serves both counts;
+        12-bit fields hold counts up to 9*B^2 = 3969 neighborhood cells
+        (B <= 21, validated below) with no carry between fields;
       * block->cell broadcasts are jnp.repeat on sublanes (fuses into the
         consuming compare).
 
@@ -126,6 +127,10 @@ def block_scale_map(mag_map: jnp.ndarray, cfar: CfarParams,
     R, D = mag_map.shape
     if R % B or D % B:
         raise ValueError(f"scale_block={B} must divide map shape {(R, D)}")
+    if 9 * B * B > 4095:
+        raise ValueError(
+            f"scale_block={B}: 9*B^2 = {9 * B * B} neighborhood cells "
+            f"overflow the 12-bit packed hi/lo count fields (B <= 21)")
     Rb, Db = R // B, D // B
     N = 9 * B * B
     rank_idx = min((N * cfar.rank_pct) // 100, N - 1)
@@ -156,14 +161,14 @@ def block_scale_map(mag_map: jnp.ndarray, cfar: CfarParams,
     if integer:
         mean = to_cells(nb9(block_reduce_t(m)) // N)  # block-constant int32
         ind = ((m > mean + (mean >> 1)).astype(jnp.int32)
-               + ((m >= (mean >> 1)).astype(jnp.int32) << 10))
+               + ((m >= (mean >> 1)).astype(jnp.int32) << 12))
     else:
         mean = to_cells(nb9(block_reduce_t(m)) / N)
         ind = ((m > 1.5 * mean).astype(jnp.int32)
-               + ((m >= 0.5 * mean).astype(jnp.int32) << 10))
+               + ((m >= 0.5 * mean).astype(jnp.int32) << 12))
     packed = nb9(block_reduce_t(ind))                 # (Db, Rb)
-    cnt_hi = packed & 1023
-    cnt_lo = packed >> 10
+    cnt_hi = packed & 4095
+    cnt_lo = packed >> 12
     scale_b = jnp.where(cnt_hi >= k, cfar.scale_max,
                         jnp.where(cnt_lo < k, cfar.scale_min, cfar.scale_nom))
     return to_cells(scale_b).astype(jnp.int32)
@@ -187,6 +192,10 @@ def block_scale_map_sharded(mag_local: jnp.ndarray, cfar: CfarParams,
     R, D = mag_local.shape
     if R % B or D % B:
         raise ValueError(f"scale_block={B} must divide local shape {(R, D)}")
+    if 9 * B * B > 4095:
+        raise ValueError(
+            f"scale_block={B}: 9*B^2 = {9 * B * B} neighborhood cells "
+            f"overflow the 12-bit packed hi/lo count fields (B <= 21)")
     clip = cfar.edge_mode != "wrap"
     Rb, Db = R // B, D // B
     N = 9 * B * B
@@ -233,14 +242,14 @@ def block_scale_map_sharded(mag_local: jnp.ndarray, cfar: CfarParams,
     if integer:
         mean = to_cells(nb9(block_reduce_t(m)) // N)
         ind = ((m > mean + (mean >> 1)).astype(jnp.int32)
-               + ((m >= (mean >> 1)).astype(jnp.int32) << 10))
+               + ((m >= (mean >> 1)).astype(jnp.int32) << 12))
     else:
         mean = to_cells(nb9(block_reduce_t(m)) / N)
         ind = ((m > 1.5 * mean).astype(jnp.int32)
-               + ((m >= 0.5 * mean).astype(jnp.int32) << 10))
+               + ((m >= 0.5 * mean).astype(jnp.int32) << 12))
     packed = nb9(block_reduce_t(ind))
-    cnt_hi = packed & 1023
-    cnt_lo = packed >> 10
+    cnt_hi = packed & 4095
+    cnt_lo = packed >> 12
     scale_b = jnp.where(cnt_hi >= k, cfar.scale_max,
                         jnp.where(cnt_lo < k, cfar.scale_min, cfar.scale_nom))
     return to_cells(scale_b).astype(jnp.int32)
@@ -268,9 +277,13 @@ def cfar_2d_auto(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
 
     ``need_debug=False`` (and an OS-variant Pallas dispatch) selects the
     count-only detection kernel, which skips the rank selection entirely:
-    the returned det_map/scale are bit-exact vs the XLA path but
-    ``threshold`` comes back as None — only pass False when the
-    dbg_threshold tap is unused (include_debug=False pipelines)."""
+    the returned det_map/scale match the XLA path's decisions exactly in
+    integer mode and decision-equivalently in float per-cell mode (the
+    kernel's adaptive-scale mean uses the _ref_sums box tree, the XLA OS
+    branch sums the ref stack — ulp-different means could flip a hi/lo
+    class only on an exact-boundary float input); ``threshold`` comes back
+    as None — only pass False when the dbg_threshold tap is unused
+    (include_debug=False pipelines)."""
     if method == "auto":
         method = ("pallas" if cfar.variant == "os"
                   and jax.default_backend() == "tpu" else "xla")

@@ -38,6 +38,23 @@ from ..params import CfarParams
 from ..golden.fixed_point import _window_offsets
 
 
+def _boxsum(view, conv, r0, r1, d0, d1):
+    """Window sum over dr in [r0, r1] x dd in [d0, d1] of ``conv(view(dr,
+    dd))`` — inner sum over dr ascending, outer over dd ascending, the
+    association tree of ops/cfar._box2d_sum/_ref_sums.  This order is
+    load-bearing: the per-cell adaptive-scale mean must build the identical
+    float tree in every kernel (fused front-end epilogue, _kernel_detect,
+    _kernel) so their scale decisions are mutually bit-identical."""
+    acc = None
+    for dd in range(d0, d1 + 1):
+        col = None
+        for dr in range(r0, r1 + 1):
+            v = conv(view(dr, dd))
+            col = v if col is None else col + v
+        acc = col if acc is None else acc + col
+    return acc
+
+
 def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
             rot_ref, refs_ref, *, cfar: CfarParams, integer: bool, bits: int,
             tile_rows: int):
@@ -73,25 +90,17 @@ def _kernel(mag_ref, padded_ref, so_ref, det_ref, thr_ref, scale_ref,
 
     # 3. Adaptive-scale mean from full-minus-guard window sums in the
     # association order of ops/cfar._ref_sums — the float mean is
-    # bit-identical to the XLA path's and to _kernel_detect's.
+    # bit-identical to _kernel_detect's and the fused epilogue's (the XLA
+    # OS branch sums the ref stack instead, so XLA-vs-kernel means agree
+    # only decision-equivalently, as before).
     def raw_view(dr, dd):
         return rot_ref[dd + hd, pl.ds(hr + dr, tile_rows), :]
 
     conv = ((lambda v: v) if integer
             else (lambda v: pltpu.bitcast(v, jnp.float32)))
     gr, gd = cfar.guard_range, cfar.guard_doppler
-
-    def boxsum(r0, r1, d0, d1):
-        acc = None
-        for dd in range(d0, d1 + 1):
-            col = None
-            for dr in range(r0, r1 + 1):
-                v = conv(raw_view(dr, dd))
-                col = v if col is None else col + v
-            acc = col if acc is None else acc + col
-        return acc
-
-    sum_refs = boxsum(-hr, hr, -hd, hd) - boxsum(-gr, gr, -gd, gd)
+    sum_refs = (_boxsum(raw_view, conv, -hr, hr, -hd, hd)
+                - _boxsum(raw_view, conv, -gr, gr, -gd, gd))
     mean = (sum_refs // cfar.n_ref) if integer else (sum_refs / cfar.n_ref)
 
     # 4. Bit-serial radix selection of the k-th largest training cell
@@ -191,23 +200,13 @@ def _kernel_detect(mag_ref, padded_ref, so_ref, det_ref, scale_ref,
 
     # Pass A: the adaptive-scale mean, from full-minus-guard window sums in
     # the association order of ops/cfar._ref_sums (_box1d over dr ascending,
-    # then over dd ascending) — the float mean is bit-identical to the XLA
-    # path's and to the fused front-end epilogue's, not just
-    # decision-equivalent.
+    # then over dd ascending) — the float mean is bit-identical to _kernel's
+    # and the fused front-end epilogue's (the XLA OS branch sums its ref
+    # stack instead; agreement with it stays decision-equivalent).
     conv = (lambda v: v) if integer else fval
     gr, gd = cfar.guard_range, cfar.guard_doppler
-
-    def boxsum(r0, r1, d0, d1):
-        acc = None
-        for dd in range(d0, d1 + 1):
-            col = None
-            for dr in range(r0, r1 + 1):
-                v = conv(view(dr, dd))
-                col = v if col is None else col + v
-            acc = col if acc is None else acc + col
-        return acc
-
-    sum_refs = (boxsum(-hr, hr, -hd, hd) - boxsum(-gr, gr, -gd, gd))
+    sum_refs = (_boxsum(view, conv, -hr, hr, -hd, hd)
+                - _boxsum(view, conv, -gr, gr, -gd, gd))
     if integer:
         mean = sum_refs // cfar.n_ref
         t_hi = mean + (mean >> 1)

@@ -153,11 +153,11 @@ def _block_scale(mags, *, n2: int, cfar, integer: bool = False):
         for k2 in range(n2):
             mi = mags[k2].astype(jnp.int32)
             t = ((mi > t_hi).astype(jnp.int32)
-                 + ((mi >= t_lo).astype(jnp.int32) << 10))
+                 + ((mi >= t_lo).astype(jnp.int32) << 12))
             ind = t if ind is None else ind + t
         packed = groups3(lane_group_bcast(rows3(ind)))
-        cnt_hi = packed & 1023
-        cnt_lo = packed >> 10
+        cnt_hi = packed & 4095
+        cnt_lo = packed >> 12
         return jnp.where(
             cnt_hi >= k, cfar.scale_max,
             jnp.where(cnt_lo < k, cfar.scale_min, cfar.scale_nom)).astype(
@@ -170,13 +170,13 @@ def _block_scale(mags, *, n2: int, cfar, integer: bool = False):
     t_hi = 1.5 * mean
     t_lo = 0.5 * mean
     ind = ((mags[0] > t_hi).astype(jnp.int32)
-           + ((mags[0] >= t_lo).astype(jnp.int32) << 10))
+           + ((mags[0] >= t_lo).astype(jnp.int32) << 12))
     for k2 in range(1, n2):
         ind = ind + ((mags[k2] > t_hi).astype(jnp.int32)
-                     + ((mags[k2] >= t_lo).astype(jnp.int32) << 10))
+                     + ((mags[k2] >= t_lo).astype(jnp.int32) << 12))
     packed = groups3(lane_group_bcast(rows3(ind)))
-    cnt_hi = packed & 1023
-    cnt_lo = packed >> 10
+    cnt_hi = packed & 4095
+    cnt_lo = packed >> 12
     return jnp.where(
         cnt_hi >= k, cfar.scale_max,
         jnp.where(cnt_lo < k, cfar.scale_min, cfar.scale_nom)).astype(
@@ -406,7 +406,15 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
                                    jnp.where(est < 0.5 * mean, cfar.scale_min,
                                              cfar.scale_nom))
                 scale_f = jnp.where(so != 0, so, sc).astype(jnp.float32)
-            det = jnp.where(cut > est * scale_f, cut, jnp.zeros_like(cut))
+            if integer:
+                # Exact integer threshold: cut > est*scale <=> est < q with
+                # q = ceil(cut/scale) — avoids the f32 est*scale product,
+                # which loses exactness past 2^24 (large scale_override).
+                q = jnp.floor((cut - 1.0) / scale_f) + 1.0
+                keep = est < q
+            else:
+                keep = cut > est * scale_f
+            det = jnp.where(keep, cut, jnp.zeros_like(cut))
             if peak_radius > 0:
                 dets.append(det)
             else:
@@ -417,9 +425,10 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
             # Per-cell adaptive scale (os_cfar_2d.vhd:187-199): mean pass A
             # + hi/lo classification pass B of _kernel_detect.  The mean
             # comes from separable full-minus-guard box sums in the
-            # association order of ops/cfar._ref_sums — bit-identical to the
-            # XLA float mean (and to _kernel_detect's, which uses the same
-            # tree), at ~35 plane-ops instead of n_ref=128 direct adds.
+            # association order of ops/cfar._ref_sums — bit-identical to
+            # _kernel_detect's (same tree; the XLA OS branch sums its ref
+            # stack instead, so agreement with it is decision-equivalent),
+            # at ~35 plane-ops instead of n_ref=128 direct adds.
             gr, gd = cfar.guard_range, cfar.guard_doppler
             sum_refs = box(-hr, hr, -hd, hd) - box(-gr, gr, -gd, gd)
             mean = fdiv(sum_refs, cfar.n_ref)
@@ -799,6 +808,15 @@ def rdm_frontend_fixed(iq: jnp.ndarray, mti_bypass=False,
     if (peak_group_radius + n2 - 1) // n2 > _DET_PAD:
         raise ValueError(f"peak_group_radius {peak_group_radius} exceeds "
                          f"the detect scratch row pad ({_DET_PAD} x n2)")
+    if (cfar.variant != "os" or cfar.scale_mode == "cell") and (
+            cfar.win_range * cfar.win_doppler * 45056 >= 2 ** 24):
+        # CA/GO/SO estimates and the per-cell scale mean carry the training
+        # window sums as integers in f32, exact only below 2^24 (max fixed
+        # magnitude 45056); wider windows must use the XLA fixed chain
+        # (exact int32 sums).  OS + block scale only counts — no bound.
+        raise ValueError(
+            f"CFAR window {cfar.win_range}x{cfar.win_doppler} too large for "
+            f"exact f32 integer window sums (need win cells <= 372)")
 
     from .window import hamming_q15
     winr = np.asarray(hamming_q15(nr, coef_width),

@@ -18,8 +18,6 @@ TPU uses (jnp.astype(bfloat16) rounds identically), so the numerics model
 under test is the hardware one.
 """
 
-import dataclasses
-
 import numpy as np
 import pytest
 import jax
@@ -157,6 +155,52 @@ def test_fixed_fused_gate_raises_on_unsupported():
     p = _params("cell", "os", edge_mode="reflect")
     with pytest.raises(ValueError, match="fused fixed-point"):
         pl.make_processor(p, mode="fixed", frontend="pallas")
+    # Windows whose full-window sum can exceed 2^24 (not exactly
+    # representable in the kernel's integer-in-f32 sums) are gated out for
+    # sum-using configs — this geometry passes every other gate (halo 8 <=
+    # 8*n2 = 16) so the 2^24 bound is the discriminator: 17x23 = 391 cells
+    # * 45056 > 2^24.
+    wide = dict(ref_range=6, guard_range=2, ref_doppler=9, guard_doppler=2)
+    p_wide = _params("cell", "os", **wide)
+    assert not pl.fused_fixed_detect_supported(p_wide)
+    with pytest.raises(ValueError, match="fused fixed-point"):
+        pl.make_processor(p_wide, mode="fixed", frontend="pallas")
+    # The kernel wrapper itself also rejects it (defense in depth).
+    from fmcw_tpu.ops.frontend_pallas import rdm_frontend_fixed
+    with pytest.raises(ValueError, match="window"):
+        rdm_frontend_fixed(
+            np.zeros((p_wide.n_doppler, p_wide.n_range, 2), np.int16),
+            cfar=p_wide.cfar, interpret=True)
+    # ...but OS + block scale decides purely by counting (exact at any
+    # window size): the same window stays supported.
+    assert pl.fused_fixed_detect_supported(_params("block", "os", **wide))
     # auto never routes fixed mode to the kernel (bit-identical default).
     proc = pl.make_processor(_params(), mode="fixed", frontend="auto")
     assert proc is not None
+
+
+def test_fixed_fused_large_scale_override_exact():
+    """Integer threshold decision with a large non-power-of-two
+    scale_override: the ceil-division form stays exact where an f32
+    est*scale product would round (products past 2^24)."""
+    # The formula itself, over the full regime incl. >2^24 products:
+    # est < ceil(cut/scale) <=> cut > est*scale, exactly.
+    cuts = np.arange(1, 45057, 97)
+    for scale in (373, 3001, 45056):
+        q = np.floor((cuts - 1).astype(np.float32)
+                     / np.float32(scale)).astype(np.int64) + 1
+        assert np.array_equal(q, -(-cuts.astype(np.int64) // scale))
+        # decision equivalence at the boundary ests
+        for est in (q - 1, q, q + 1):
+            lhs = est < q
+            rhs = cuts.astype(np.int64) > est * scale
+            assert np.array_equal(lhs, rhs)
+    # Integration: hot stimulus (ests near the magnitude ceiling) with a
+    # non-power-of-two override pushing products past 2^24.
+    p = _params("cell", "ca")
+    hot = np.clip(np.asarray(reference.two_target_frame(p, seed=13)) * 40,
+                  -32768, 32767)
+    hot = np.stack([hot.real, hot.imag], -1).astype(np.int16)
+    out_x, out_k = _run_pair(p, hot, scale_override=373)
+    assert _det_set(out_x) == _det_set(out_k)
+    assert out_x["n_dets"] == out_k["n_dets"]
