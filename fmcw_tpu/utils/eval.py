@@ -1,0 +1,120 @@
+"""Detection-quality evaluation: Pd / Pfa Monte-Carlo harness.
+
+The reference validates its detector statistically in-testbench — "at least
+2 detections on targets, at most 3 false alarms on noise-only"
+(rtl/src/tb_os_cfar_2d.vhd:131-155).  This module is the framework-grade
+version of that idea: Monte-Carlo probability-of-detection curves vs SNR and
+noise-only false-alarm rates, per CFAR variant and scale mode — the radar
+analog of a model-quality eval, runnable on CPU or TPU.
+
+Definitions:
+
+* A trial frame is complex white Gaussian noise (per-component sigma, int16
+  quantized) with, for Pd trials, one point target of input-domain SNR
+  ``A^2 / (2 sigma^2)`` at a known (range, Doppler) bin (off-grid fractional
+  frequencies by default — the honest case; straddling loss included).
+* Pd = fraction of trials where any reported detection falls within
+  ``tolerance`` bins (Chebyshev) of the truth.
+* Pfa = false detections per cell on noise-only frames (n_dets / cells,
+  averaged over trials).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..params import RadarParams
+
+
+def synth_trial_frame(p: RadarParams, rng: np.random.Generator,
+                      snr_db: float | None, rbin: float, dbin: float,
+                      sigma: float = 64.0) -> np.ndarray:
+    """One int16 I/Q trial frame: noise, plus a point target at fractional
+    bins (rbin, dbin) when ``snr_db`` is not None."""
+    nd, nr = p.n_doppler, p.n_range
+    z = rng.normal(0.0, sigma, (nd, nr)) + 1j * rng.normal(0.0, sigma,
+                                                           (nd, nr))
+    if snr_db is not None:
+        amp = sigma * np.sqrt(2.0) * 10.0 ** (snr_db / 20.0)
+        n = np.arange(nr)[None, :]
+        c = np.arange(nd)[:, None]
+        phase = 2j * np.pi * (rbin * n / nr + dbin * c / nd)
+        z = z + amp * np.exp(phase + 2j * np.pi * rng.uniform())
+    z = np.clip(np.round(z.real), -32768, 32767) + 1j * np.clip(
+        np.round(z.imag), -32768, 32767)
+    iq = np.stack([z.real, z.imag], axis=-1).astype(np.int16)
+    return iq
+
+
+def pd_pfa(p: RadarParams, *, snr_dbs=(-35, -30, -27, -24, -21, -18),
+           variants=("os", "ca", "go", "so"), trials: int = 32,
+           noise_trials: int = 16, seed: int = 0, tolerance: int = 1,
+           sigma: float = 64.0, mti_bypass: bool = True,
+           processor_kw: dict | None = None) -> dict:
+    """Monte-Carlo Pd(SNR) curves and noise-only Pfa per CFAR variant.
+
+    Targets are injected at random fractional bins away from the Doppler
+    notch (``mti_bypass=True`` by default so zero-Doppler placement is also
+    fair; pass False to include the MTI in the chain).  Returns
+    ``{variant: {"pfa": float, "pd": {snr_db: float}}}``.
+    """
+    import jax
+    from ..models import pipeline as pl
+
+    results = {}
+    cells = p.n_range * p.n_doppler
+    for variant in variants:
+        pv = p.replace(cfar=dataclasses.replace(p.cfar, variant=variant))
+        proc = pl.make_batch_processor(pv, include_maps=False,
+                                       **(processor_kw or {}))
+        rng = np.random.default_rng(seed)
+
+        noise = np.stack([
+            synth_trial_frame(pv, rng, None, 0, 0, sigma)
+            for _ in range(noise_trials)])
+        out = jax.tree.map(np.asarray,
+                           proc(noise, mti_bypass=mti_bypass))
+        pfa = float(out["n_dets"].sum()) / (noise_trials * cells)
+
+        pd_curve = {}
+        for snr in snr_dbs:
+            truths = []
+            batch = []
+            for _ in range(trials):
+                rbin = rng.uniform(p.cfar.halo_range + 1,
+                                   p.n_range - p.cfar.halo_range - 2)
+                dmargin = p.cfar.halo_doppler + 1
+                dbin = rng.uniform(dmargin, p.n_doppler - dmargin - 1)
+                truths.append((rbin, dbin))
+                batch.append(synth_trial_frame(pv, rng, snr, rbin, dbin,
+                                               sigma))
+            out = jax.tree.map(
+                np.asarray, proc(np.stack(batch), mti_bypass=mti_bypass))
+            hits = 0
+            for i, (rbin, dbin) in enumerate(truths):
+                v = out["valid"][i]
+                if not v.any():
+                    continue
+                dr = np.abs(out["range_bin"][i][v] - rbin)
+                dr = np.minimum(dr, p.n_range - dr)       # wrap distance
+                dd = np.abs(out["doppler_bin"][i][v] - dbin)
+                dd = np.minimum(dd, p.n_doppler - dd)
+                if (np.maximum(dr, dd) <= tolerance + 0.5).any():
+                    hits += 1
+            pd_curve[snr] = hits / trials
+        results[variant] = {"pfa": pfa, "pd": pd_curve}
+    return results
+
+
+def format_table(results: dict) -> str:
+    """Plain-text Pd/Pfa table (one row per variant)."""
+    snrs = sorted(next(iter(results.values()))["pd"])
+    hdr = "variant   Pfa       " + "  ".join(f"Pd@{s:+d}dB" for s in snrs)
+    lines = [hdr, "-" * len(hdr)]
+    for v, r in results.items():
+        row = f"{v:8s}  {r['pfa']:.2e}  " + "  ".join(
+            f"{r['pd'][s]:7.2f}" for s in snrs)
+        lines.append(row)
+    return "\n".join(lines)

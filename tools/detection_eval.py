@@ -1,0 +1,54 @@
+"""Pd/Pfa detection-quality sweep CLI (BASELINE config 4 flavor).
+
+    python tools/detection_eval.py [--full] [--trials N] [--cpu]
+                                   [--variants os,ca,go,so] [--json OUT]
+
+Prints a Pd-vs-SNR / Pfa table per CFAR variant (fmcw_tpu/utils/eval.py).
+Quick mode (default, 256x64 map) runs in ~a minute on CPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="full 1024x128 CPI (default: 256x64)")
+    ap.add_argument("--trials", type=int, default=32)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--variants", default="os,ca,go,so")
+    ap.add_argument("--scale-mode", default="cell", choices=["cell", "block"])
+    ap.add_argument("--json", default=None, metavar="OUT")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from fmcw_tpu import RadarParams, CfarParams
+    from fmcw_tpu.utils import eval as ev
+
+    cfar = CfarParams(scale_mode=args.scale_mode,
+                      scale_block=8 if args.full else 2)
+    p = (RadarParams(cfar=cfar) if args.full
+         else RadarParams(n_range=256, n_doppler=64, cfar=cfar))
+    res = ev.pd_pfa(p, variants=tuple(args.variants.split(",")),
+                    trials=args.trials)
+    print(ev.format_table(res))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({v: {"pfa": r["pfa"],
+                           "pd": {str(k): pd for k, pd in r["pd"].items()}}
+                       for v, r in res.items()}, f, indent=1)
+        print(f"wrote {args.json}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
