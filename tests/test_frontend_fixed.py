@@ -150,6 +150,41 @@ def test_fixed_fused_vs_golden_model():
     assert _det_set(out_k) == set(zip(*np.nonzero(det_g)))
 
 
+def test_fixed_fused_random_config_fuzz():
+    """Randomized gate-valid CFAR geometries, variants, scale modes,
+    controls and stimuli: detection-set parity with the XLA fixed chain
+    must hold for every draw (2-pulse configs)."""
+    rng = np.random.default_rng(2024)
+    for trial in range(5):
+        while True:
+            cfar = CfarParams(
+                ref_range=int(rng.integers(1, 7)),
+                ref_doppler=int(rng.integers(1, 6)),
+                guard_range=int(rng.integers(0, 3)),
+                guard_doppler=int(rng.integers(0, 3)),
+                rank_pct=int(rng.integers(50, 95)),
+                variant=str(rng.choice(["os", "ca", "go", "so"])),
+                scale_mode=str(rng.choice(["cell", "block"])),
+                scale_block=2)
+            p = RadarParams(n_range=256, n_doppler=64, cfar=cfar)
+            if pl.fused_fixed_detect_supported(p):
+                break
+        pg = int(rng.integers(0, 3))
+        byp = bool(rng.integers(0, 2))
+        so = int(rng.choice([0, 0, 2, 5]))
+        z = np.asarray(reference.two_target_frame(
+            p, seed=int(rng.integers(1 << 16)))) * rng.uniform(0.5, 4.0)
+        z = (np.clip(z.real, -32768, 32767)
+             + 1j * np.clip(z.imag, -32768, 32767))
+        frame = pl.complex_to_iq(z)
+        out_x, out_k = _run_pair(p, frame, pg=pg, mti_bypass=byp,
+                                 scale_override=so)
+        tag = (trial, cfar.variant, cfar.scale_mode, pg, byp, so)
+        assert _det_set(out_x) == _det_set(out_k), tag
+        assert out_x["n_dets"] == out_k["n_dets"], tag
+        assert out_x["saturation_count"] == out_k["saturation_count"], tag
+
+
 def test_fixed_fused_gate_raises_on_unsupported():
     # reflect edges are outside the fused kernel's wrap layout.
     p = _params("cell", "os", edge_mode="reflect")
