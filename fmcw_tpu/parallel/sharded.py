@@ -293,6 +293,8 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
         # the same host value and jit replicates it over the global mesh.
         return x if isinstance(x, jax.Array) else np.asarray(x, dtype)
 
+    multi_process = len({d.process_index for d in mesh.devices.flat}) > 1
+
     def process(iq, mti_bypass=False, scale_override=0):
         if iq.ndim != 4 or iq.shape[1:] != (p.n_doppler, p.n_range, 2):
             raise ValueError(
@@ -300,6 +302,16 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
                 f"{p.n_range}, 2), got {iq.shape}")
         if iq.shape[0] % dp:
             raise ValueError(f"batch {iq.shape[0]} not divisible by dp={dp}")
+        if multi_process and not isinstance(iq, jax.Array):
+            # Multi-host mesh fed host-local numpy frames: every process
+            # must supply the identical batch (the standard replicated-input
+            # contract); each process materializes only its addressable
+            # shards.  Callers with genuinely distributed data pass a global
+            # jax.Array instead (tools/multihost_worker.py shows both).
+            spec = jax.sharding.NamedSharding(mesh, P("dp", "sp", None, None))
+            arr = np.asarray(iq)
+            iq = jax.make_array_from_callback(arr.shape, spec,
+                                              lambda idx: arr[idx])
         return sharded(iq, _ctrl(mti_bypass, np.bool_),
                        _ctrl(scale_override, np.int32))
 

@@ -27,6 +27,18 @@ from ..models import tracker as jt
 from ..utils import io as rio
 
 
+def _to_host(a) -> np.ndarray:
+    """Device array -> host numpy.  On a multi-host mesh the detection
+    outputs are batch-sharded across processes (not fully addressable);
+    gather them so every host drives the same tracker state and writes
+    identical logs — detections are ~KB/scan, so the DCN gather is free
+    next to the frame pipeline."""
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
+
+
 @dataclasses.dataclass
 class ScanResult:
     scan: int
@@ -75,7 +87,7 @@ def run_surveillance(proc: Callable, frames: Iterable[np.ndarray],
             buf = buf + [np.zeros_like(buf[0])] * (batch_scans - n_valid)
         batch = np.stack(buf)
         out = proc(batch, mti_bypass=mti_bypass, scale_override=scale_override)
-        out = jax.tree.map(np.asarray, out)
+        out = jax.tree.map(_to_host, out)
         # All of the batch's scans advance the tracker in one on-device
         # lax.scan dispatch (models/tracker.run_scans), then reports stream
         # out per scan.  (A final partial batch runs a shorter scan loop —

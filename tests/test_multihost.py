@@ -13,6 +13,7 @@ collectives, and per-process addressable-shard outputs.
 """
 
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -51,6 +52,13 @@ def test_two_process_mesh_matches_single_device():
         for pr in procs:
             if pr.poll() is None:
                 pr.kill()
+    hashes = []
     for i, (pr, out) in enumerate(zip(procs, outs)):
         assert pr.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"MULTIHOST OK p{i}/2" in out, out
+        # Surveillance step ran and both hosts wrote identical logs (same
+        # gathered detections -> same tracker trajectory).
+        m = re.search(r"loghash=([0-9a-f]+)", out)
+        assert m, out
+        hashes.append(m.group(1))
+    assert hashes[0] == hashes[1], hashes

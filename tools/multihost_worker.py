@@ -128,8 +128,32 @@ def main() -> int:
         n = check_rows(out, f"dp{dp}sp{sp}")
         results.append(f"dp{dp}sp{sp}:{n}rows")
 
+    # Multi-host tracking-rate surveillance (BASELINE config 5): every host
+    # drives the SAME tracker state from the dp-gathered detections and
+    # writes the reference-format logs; host-local numpy frames exercise
+    # the replicated-input path of make_sharded_processor.
+    import hashlib
+    import tempfile
+
+    from fmcw_tpu.runtime import surveillance as sv
+
+    mesh = M.make_mesh(dp=args.num_processes, sp=args.local_devices)
+    proc = sh.make_sharded_processor(mesh, p, mode="fixed")
+    frames = [pl.complex_to_iq(ref.two_target_frame(p, seed=100 + s))
+              for s in range(8)]
+    d = os.environ.get("MH_LOG_DIR", tempfile.gettempdir())
+    det_log = os.path.join(d, f"mh_det_p{args.process_id}.txt")
+    trk_log = os.path.join(d, f"mh_trk_p{args.process_id}.txt")
+    scans = list(sv.run_surveillance(proc, frames, p, batch_scans=4,
+                                     det_log=det_log, trk_log=trk_log))
+    actives = [s.active_tracks for s in scans]
+    h = hashlib.sha256(open(det_log, "rb").read()
+                       + open(trk_log, "rb").read()).hexdigest()[:12]
+
     print(f"MULTIHOST OK p{args.process_id}/{args.num_processes} "
-          f"({n_global} devices): " + " ".join(results), flush=True)
+          f"({n_global} devices): " + " ".join(results)
+          + f" surv:{len(scans)}scans actives={actives} loghash={h}",
+          flush=True)
     return 0
 
 
