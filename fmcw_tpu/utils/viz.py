@@ -90,6 +90,35 @@ def load_tracks(path: str):
     return tracks, scan_counts
 
 
+def resolve_track_velocities(tracks: dict, n_doppler: int,
+                             prfs=(8000.0, 9000.0, 10000.0),
+                             wavelength: float = WAVELENGTH_M,
+                             v_max: float = 1200.0) -> dict:
+    """Unambiguous radial velocity per track from the scan-staggered PRFs
+    (utils/ambiguity.py — the resolution step the reference's stagger
+    exists for but its visualizer never performs).  Scan s (0-based, the
+    load_tracks counter) used PRF ``prfs[s % len(prfs)]`` — matching
+    models/scenario's 1-based ``prf_hz[(scan - 1) % 3]``.  Track positions
+    are alpha-filtered measurements, so the estimate carries a few bins of
+    smoothing lag on maneuvering targets; returns
+    ``{trk_id: (v_mps, residual_mps)}`` for tracks seen at >= 2 distinct
+    PRFs (large residuals flag stagger-inconsistent tracks)."""
+    from .ambiguity import unfold_velocity
+
+    out = {}
+    for tid, t in tracks.items():
+        latest = {}
+        for s, dq2 in zip(t.scans, t.dopp_q2):
+            latest[s % len(prfs)] = dq2 / 4.0        # Q2 -> bins
+        if len(latest) < 2:
+            continue
+        idx = sorted(latest)
+        out[tid] = unfold_velocity([latest[i] for i in idx],
+                                   [prfs[i] for i in idx], n_doppler,
+                                   wavelength=wavelength, v_max=v_max)
+    return out
+
+
 def notch_analysis(tracks: dict, scan_counts: list, notch_scan: int) -> dict:
     """Notch-maneuver survival analysis (visualize_radar_targets.py:324-366):
     how many tracks survive (coast) through the notch window vs drop."""

@@ -52,3 +52,24 @@ def test_unfold_two_prfs_and_misassociation_flag():
 def test_validation():
     with pytest.raises(ValueError):
         amb.unfold_velocity([5], [8000.0], ND)
+
+
+def test_resolve_track_velocities_from_history():
+    """viz.resolve_track_velocities: synthetic track whose per-scan bins
+    follow the scenario's PRF stagger recovers the unambiguous velocity."""
+    from fmcw_tpu.utils import viz
+
+    v_true = -520.0          # aliases at every single PRF
+    scans = list(range(6))   # two full stagger cycles
+    bins = [sc._vel_to_doppler_bin(v_true, PRFS[s % 3], CFG, ND)
+            for s in scans]
+    t = viz.TrackHistory(scans=scans, range_q2=[400 * 4] * 6,
+                         dopp_q2=[b * 4 for b in bins],
+                         vel_r=[0] * 6, quality=[10] * 6, status=[2] * 6)
+    out = viz.resolve_track_velocities({3: t}, ND, prfs=PRFS,
+                                       wavelength=CFG.wavelength)
+    v_hat, res = out[3]
+    assert abs(v_hat - v_true) <= 2 * QUANT, (v_hat, res)
+    # a single-scan track yields nothing
+    t1 = viz.TrackHistory([0], [0], [bins[0] * 4], [0], [5], [1])
+    assert viz.resolve_track_velocities({0: t1}, ND, prfs=PRFS) == {}

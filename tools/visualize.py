@@ -153,6 +153,17 @@ def main():
                        notch_scan=cfg.notch_scan)
     print("rendered:", ", ".join(files))
 
+    # Staggered-PRF velocity unfolding: the analysis step the reference's
+    # 3-PRF stagger exists for (utils/ambiguity.py).
+    tracks, _ = viz.load_tracks(trk_log)
+    vels = viz.resolve_track_velocities(tracks, p.n_doppler,
+                                        prfs=cfg.prf_hz,
+                                        wavelength=cfg.wavelength)
+    for tid in sorted(vels):
+        v, res = vels[tid]
+        print(f"track {tid:2d}: radial {v:+7.1f} m/s "
+              f"({v * 1.94384:+7.1f} kts, stagger residual {res:.1f} m/s)")
+
 
 if __name__ == "__main__":
     main()
