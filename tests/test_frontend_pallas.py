@@ -386,3 +386,43 @@ def test_pipeline_frontend_pallas_batch_vmap():
     out = jax.tree.map(np.asarray, proc(batch))
     assert out["n_dets"].shape == (2,)
     assert out["n_dets"][0] == out["n_dets"][1] > 0
+
+
+def test_fused_detect_random_config_fuzz():
+    """Randomized gate-valid CFAR geometries/variants/scale modes with
+    random controls: the fused float detect epilogue must match the
+    unfused pipeline's detection decisions exactly for every draw."""
+    import dataclasses
+    from fmcw_tpu import RadarParams, CfarParams
+
+    rng = np.random.default_rng(77)
+    for trial in range(5):
+        while True:
+            cfar = CfarParams(
+                ref_range=int(rng.integers(1, 7)),
+                ref_doppler=int(rng.integers(1, 6)),
+                guard_range=int(rng.integers(0, 3)),
+                guard_doppler=int(rng.integers(0, 3)),
+                rank_pct=int(rng.integers(50, 95)),
+                variant=str(rng.choice(["os", "ca", "go", "so"])),
+                scale_mode=str(rng.choice(["cell", "block"])),
+                scale_block=2)
+            p = RadarParams(n_range=256, n_doppler=64, cfar=cfar)
+            if pl.fused_detect_supported(p):
+                break
+        pg = int(rng.integers(0, 3))
+        byp = bool(rng.integers(0, 2))
+        so = int(rng.choice([0, 0, 3]))
+        frame = pl.complex_to_iq(
+            reference.two_target_frame(p, seed=int(rng.integers(1 << 16))))
+        kw = dict(mode="float32", include_maps=True, peak_group_radius=pg,
+                  frontend="pallas")
+        out_f = pl.make_processor(p, fuse_detect=True, **kw)(
+            frame, mti_bypass=byp, scale_override=so)
+        out_u = pl.make_processor(p, fuse_detect=False, **kw)(
+            frame, mti_bypass=byp, scale_override=so)
+        tag = (trial, cfar.variant, cfar.scale_mode, pg, byp, so)
+        a = np.asarray(out_f["det_map"])
+        b = np.asarray(out_u["det_map"])
+        assert np.array_equal(a, b), tag
+        assert np.asarray(out_f["n_dets"]) == np.asarray(out_u["n_dets"]), tag
