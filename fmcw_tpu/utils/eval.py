@@ -82,10 +82,17 @@ def pd_pfa(p: RadarParams, *, snr_dbs=(-35, -30, -27, -24, -21, -18),
         for snr in snr_dbs:
             truths = []
             batch = []
+            # Doppler placement margin: the CFAR halo always; with the MTI
+            # in the chain also an n/8 guard away from the DC notch (bins 0
+            # and N wrap), where the 2-pulse canceller still attenuates by
+            # ~-1 dB or worse — otherwise notch-skirt losses flatten the Pd
+            # curves and the docstring's "fair placement" claim breaks.
+            dmargin = p.cfar.halo_doppler + 1
+            if not mti_bypass:
+                dmargin = max(dmargin, p.n_doppler // 8)
             for _ in range(trials):
                 rbin = rng.uniform(p.cfar.halo_range + 1,
                                    p.n_range - p.cfar.halo_range - 2)
-                dmargin = p.cfar.halo_doppler + 1
                 dbin = rng.uniform(dmargin, p.n_doppler - dmargin - 1)
                 truths.append((rbin, dbin))
                 batch.append(synth_trial_frame(pv, rng, snr, rbin, dbin,
@@ -111,10 +118,11 @@ def pd_pfa(p: RadarParams, *, snr_dbs=(-35, -30, -27, -24, -21, -18),
 def format_table(results: dict) -> str:
     """Plain-text Pd/Pfa table (one row per variant)."""
     snrs = sorted(next(iter(results.values()))["pd"])
-    hdr = "variant   Pfa       " + "  ".join(f"Pd@{s:+d}dB" for s in snrs)
+    cols = [f"Pd@{s:+g}dB" for s in snrs]
+    hdr = "variant   Pfa       " + "  ".join(cols)
     lines = [hdr, "-" * len(hdr)]
     for v, r in results.items():
         row = f"{v:8s}  {r['pfa']:.2e}  " + "  ".join(
-            f"{r['pd'][s]:7.2f}" for s in snrs)
+            f"{r['pd'][s]:{len(c)}.2f}" for s, c in zip(snrs, cols))
         lines.append(row)
     return "\n".join(lines)

@@ -31,13 +31,11 @@ def doppler_bin_to_mps(dopp_bin, n_doppler: int, prf: float = PRF_HZ,
                        centered: bool = True) -> np.ndarray:
     """Doppler bin -> radial m/s: v = (bin - N/2) * PRF * lambda / (2N)
     (model/visualize_radar_targets.py:417-423).  ``centered=False`` for
-    natural-order bins (no +N/2 offset)."""
-    b = np.asarray(dopp_bin, dtype=np.float64)
-    if centered:
-        b = b - n_doppler / 2
-    else:
-        b = np.where(b >= n_doppler / 2, b - n_doppler, b)
-    return b * prf * WAVELENGTH_M / (2.0 * n_doppler)
+    natural-order bins (no +N/2 offset).  One implementation shared with
+    the PRF unfolder (utils/ambiguity.apparent_velocity)."""
+    from .ambiguity import apparent_velocity
+    return apparent_velocity(dopp_bin, n_doppler, prf,
+                             wavelength=WAVELENGTH_M, centered=centered)
 
 
 @dataclasses.dataclass
@@ -98,11 +96,17 @@ def resolve_track_velocities(tracks: dict, n_doppler: int,
     (utils/ambiguity.py — the resolution step the reference's stagger
     exists for but its visualizer never performs).  Scan s (0-based, the
     load_tracks counter) used PRF ``prfs[s % len(prfs)]`` — matching
-    models/scenario's 1-based ``prf_hz[(scan - 1) % 3]``.  Track positions
-    are alpha-filtered measurements, so the estimate carries a few bins of
-    smoothing lag on maneuvering targets; returns
+    models/scenario's 1-based ``prf_hz[(scan - 1) % 3]``.
+
+    CAVEATS — this is the log-only estimate: track positions are
+    alpha-filtered, so each "per-PRF" sample blends bins measured at
+    different PRFs (expect a few bins of bias; prefer raw per-scan
+    detection bins when available — tools/visualize.py does that in its
+    live loop).  And the tracker gates in bin space (reference-faithful,
+    assoc_gate_d bins), so targets whose bin hops across the stagger
+    exceed the gate never hold a track to unfold.  Returns
     ``{trk_id: (v_mps, residual_mps)}`` for tracks seen at >= 2 distinct
-    PRFs (large residuals flag stagger-inconsistent tracks)."""
+    PRFs (large residuals flag stagger-inconsistent estimates)."""
     from .ambiguity import unfold_velocity
 
     out = {}

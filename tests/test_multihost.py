@@ -30,9 +30,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_mesh_matches_single_device():
+def test_two_process_mesh_matches_single_device(tmp_path):
     port = _free_port()
     env = dict(os.environ)
+    # Workers write their surveillance logs here — a fixed system-temp
+    # path would collide across concurrent test runs on one machine.
+    env["MH_LOG_DIR"] = str(tmp_path)
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER,

@@ -10,11 +10,11 @@ Quick mode (default, 256x64 map) runs in ~a minute on CPU.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

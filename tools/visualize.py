@@ -112,6 +112,11 @@ def main():
     t0 = time.time()
     last_map = None
     n_scans = 0
+    # Per-track raw detection Doppler bins keyed by PRF index — the
+    # unfolder needs the *measured* bin at each PRF, not the tracker's
+    # alpha-filtered position (which blends bins measured at different
+    # PRFs across the stagger).
+    raw_bins: dict[int, dict[int, float]] = {}
     rec = open(args.record, "wb") if args.record else None
     for scan, iq, truth in frames_iter:
         n_scans = scan
@@ -129,6 +134,21 @@ def main():
                              tp=p.tracker)
         rep = jax.tree.map(np.asarray, rep)
         ids = np.nonzero(rep["report_mask"])[0]
+        # Associate each reported track with this scan's nearest raw
+        # detection (within the tracker's gate) and remember its measured
+        # Doppler bin under this scan's PRF index.
+        if np.any(v):
+            det_r = out["range_bin"][v].astype(np.float64)
+            det_d = out["doppler_bin"][v].astype(np.float64)
+            prf_idx = (scan - 1) % len(cfg.prf_hz)
+            for i in ids:
+                tr = rep["range_pos"][i] / 4.0
+                td = rep["dopp_pos"][i] / 4.0
+                dist = np.abs(det_r - tr) + np.abs(det_d - td)
+                j = int(np.argmin(dist))
+                if (abs(det_r[j] - tr) <= p.tracker.assoc_gate_r
+                        and abs(det_d[j] - td) <= p.tracker.assoc_gate_d):
+                    raw_bins.setdefault(int(i), {})[prf_idx] = det_d[j]
         rio.write_tracks(trk_log, [
             {"id": i, "range_pos": rep["range_pos"][i],
              "dopp_pos": rep["dopp_pos"][i], "range_vel": rep["range_vel"][i],
@@ -154,15 +174,25 @@ def main():
     print("rendered:", ", ".join(files))
 
     # Staggered-PRF velocity unfolding: the analysis step the reference's
-    # 3-PRF stagger exists for (utils/ambiguity.py).
-    tracks, _ = viz.load_tracks(trk_log)
-    vels = viz.resolve_track_velocities(tracks, p.n_doppler,
-                                        prfs=cfg.prf_hz,
-                                        wavelength=cfg.wavelength)
-    for tid in sorted(vels):
-        v, res = vels[tid]
+    # 3-PRF stagger exists for (utils/ambiguity.py), fed with the RAW
+    # per-PRF detection bins associated above.  Note the tracker gates in
+    # bin space (faithful to the reference), so targets whose Doppler bin
+    # hops more than assoc_gate_d across the stagger won't hold a track to
+    # unfold — a reference-inherited limit, not a resolver one.
+    from fmcw_tpu.utils import ambiguity as amb
+    quant = max(cfg.prf_hz) * cfg.wavelength / 2.0 / p.n_doppler
+    for tid in sorted(raw_bins):
+        meas = raw_bins[tid]
+        if len(meas) < 2:
+            continue
+        idx = sorted(meas)
+        v, res = amb.unfold_velocity(
+            [meas[i] for i in idx], [cfg.prf_hz[i] for i in idx],
+            p.n_doppler, wavelength=cfg.wavelength, centered=True)
+        flag = "" if res <= 1.5 * quant else "  [low confidence]"
         print(f"track {tid:2d}: radial {v:+7.1f} m/s "
-              f"({v * 1.94384:+7.1f} kts, stagger residual {res:.1f} m/s)")
+              f"({v * 1.94384:+7.1f} kts, stagger residual {res:.1f} m/s)"
+              f"{flag}")
 
 
 if __name__ == "__main__":
