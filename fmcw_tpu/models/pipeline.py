@@ -353,6 +353,79 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
     return process
 
 
+def make_array_processor(params: RadarParams | None = None,
+                         n_elems: int = 8, n_beams: int = 8,
+                         fft_method: str = "matmul",
+                         precision=jax.lax.Precision.HIGHEST,
+                         mti_transient: str = "zero",
+                         magnitude_exact: bool = False,
+                         ref_angle: int = 0, guard_angle: int = 0,
+                         spacing_wl: float = 0.5,
+                         max_angle_deg: float = 60.0,
+                         taper: str | None = None,
+                         cfar_method: str = "auto",
+                         include_maps: bool = True) -> Callable:
+    """Array-radar model (the BASELINE config-4 angle extension at model
+    level): element-space I/Q -> ULA phase-shift beamformer (ops/beamform,
+    one MXU matmul over the element axis) -> per-beam range-Doppler
+    front-end (the float chain of make_processor, vmapped over beams) ->
+    3D angle-extended CFAR (ops/cfar.cfar_3d) -> top-K detections with
+    (beam, range, doppler) coordinates.
+
+    Returned callable: ``fn(iq, mti_bypass=False, scale_override=0)`` with
+    iq int16[(n_elems, n_doppler, n_range, 2)].  Output adds ``beam_bin``
+    to the usual detection arrays; ``include_maps`` returns the
+    (n_beams, n_range, n_doppler) magnitude and detection cubes.
+    """
+    p = params or RadarParams()
+    from ..ops import beamform as BF
+    max_dets = p.tracker.max_dets
+
+    @jax.jit
+    def _process(iq, mti_bypass, scale_override):
+        re = iq[..., 0].astype(jnp.float32)
+        im = iq[..., 1].astype(jnp.float32)
+        br, bi = BF.beamform(re, im, n_beams, spacing_wl=spacing_wl,
+                             max_angle_deg=max_angle_deg, taper=taper,
+                             precision=precision)
+
+        def frontend(re1, im1):
+            re2, im2 = F.fft_apply(re1, im1, axis=1, window=True,
+                                   method=fft_method, precision=precision)
+            re3, im3 = F.doppler_apply(re2, im2, axis=0, bypass=mti_bypass,
+                                       notch_mode=p.notch_mode,
+                                       transient=mti_transient,
+                                       precision=precision)
+            return M.magnitude_float(re3, im3, exact=magnitude_exact)
+
+        cube = jax.vmap(frontend)(br, bi)          # (B, n_range, n_doppler)
+        det, _, _ = C.cfar_3d(cube, scale_override, cfar=p.cfar,
+                              integer=False, ref_angle=ref_angle,
+                              guard_angle=guard_angle, method=cfar_method)
+        flat = det.reshape(n_beams * p.n_range, p.n_doppler)
+        out = DET.topk_detections(flat, max_dets=max_dets)
+        out["beam_bin"] = out["range_bin"] // p.n_range
+        out["range_bin"] = out["range_bin"] % p.n_range
+        out["saturation_count"] = jnp.int32(0)
+        out["nonfinite_count"] = jnp.sum(
+            ~jnp.isfinite(cube)).astype(jnp.int32)
+        if include_maps:
+            out["mag_cube"] = cube
+            out["det_cube"] = det
+        return out
+
+    def process(iq, mti_bypass=False, scale_override=0):
+        if iq.shape != (n_elems, p.n_doppler, p.n_range, 2):
+            raise ValueError(
+                f"expected element-space iq of shape ({n_elems}, "
+                f"{p.n_doppler}, {p.n_range}, 2), got {iq.shape}")
+        return _process(iq, jnp.asarray(mti_bypass, dtype=jnp.bool_),
+                        jnp.asarray(scale_override, dtype=jnp.int32))
+
+    process.jitted = _process
+    return process
+
+
 def make_batch_processor(params: RadarParams | None = None, **kw) -> Callable:
     """vmapped multi-frame processor: iq int16[(batch, n_doppler, n_range, 2)]
     -> dict of batched outputs.  Data parallelism over frames on one chip;
