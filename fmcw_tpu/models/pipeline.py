@@ -364,13 +364,21 @@ def make_array_processor(params: RadarParams | None = None,
                          max_angle_deg: float = 60.0,
                          taper: str | None = None,
                          cfar_method: str = "auto",
-                         include_maps: bool = True) -> Callable:
+                         include_maps: bool = True,
+                         frontend: str = "auto") -> Callable:
     """Array-radar model (the BASELINE config-4 angle extension at model
     level): element-space I/Q -> ULA phase-shift beamformer (ops/beamform,
     one MXU matmul over the element axis) -> per-beam range-Doppler
-    front-end (the float chain of make_processor, vmapped over beams) ->
-    3D angle-extended CFAR (ops/cfar.cfar_3d) -> top-K detections with
-    (beam, range, doppler) coordinates.
+    front-end -> 3D angle-extended CFAR (ops/cfar.cfar_3d) -> top-K
+    detections with (beam, range, doppler) coordinates.
+
+    ``frontend`` follows make_processor: "auto" runs the fully-fused
+    Pallas front-end+detect kernel per beam when ``ref_angle == 0`` (the
+    per-beam decision is then exactly the single-channel 2D CFAR — the
+    kernel accepts the beamformed float I/Q directly) and the gates of
+    fused_detect_supported hold; the vmapped XLA chain + cfar_3d
+    otherwise (always for ``ref_angle > 0``, whose training set spans
+    neighbor beams).
 
     Returned callable: ``fn(iq, mti_bypass=False, scale_override=0)`` with
     iq int16[(n_elems, n_doppler, n_range, 2)].  Output adds ``beam_bin``
@@ -380,6 +388,20 @@ def make_array_processor(params: RadarParams | None = None,
     p = params or RadarParams()
     from ..ops import beamform as BF
     max_dets = p.tracker.max_dets
+    if frontend == "auto":
+        frontend = ("pallas" if (jax.default_backend() == "tpu"
+                                 and ref_angle == 0
+                                 and fft_method == "matmul"
+                                 and fused_detect_supported(p, "float32", 0,
+                                                            cfar_method))
+                    else "xla")
+    use_fused = frontend == "pallas"
+    if use_fused and not (ref_angle == 0 and fused_detect_supported(
+            p, "float32", 0, cfar_method)):
+        raise ValueError(
+            "frontend='pallas' on the array model needs ref_angle == 0 "
+            "(per-beam 2D decisions) and fused-detect-compatible "
+            "CfarParams (fused_detect_supported)")
 
     @jax.jit
     def _process(iq, mti_bypass, scale_override):
@@ -389,7 +411,37 @@ def make_array_processor(params: RadarParams | None = None,
                              max_angle_deg=max_angle_deg, taper=taper,
                              precision=precision)
 
-        def frontend(re1, im1):
+        if use_fused:
+            # Fully-fused per-beam kernel on the beamformed float I/Q.
+            from ..ops.frontend_pallas import rdm_frontend
+            biq = jnp.stack([br, bi], axis=-1)      # (B, nd, nr, 2) f32
+            det_s, mag_s, nf, rmax, ndets = jax.vmap(
+                lambda x: rdm_frontend(
+                    x, mti_bypass, notch_mode=p.notch_mode,
+                    transient=mti_transient, exact_mag=magnitude_exact,
+                    interpret=jax.default_backend() != "tpu", cfar=p.cfar,
+                    detect=True, scale_override=scale_override,
+                    emit_mag=include_maps))(biq)
+            n2 = max(p.n_range // 128, 1)
+            n1 = min(p.n_range, 128)
+            flat = det_s.reshape(n_beams * n2 * n1, p.n_doppler)
+            out = DET.topk_detections(flat, max_dets=max_dets,
+                                      row_max=rmax.reshape(-1),
+                                      n_dets=jnp.sum(ndets))
+            row = out["range_bin"]
+            sl = n2 * n1
+            out["beam_bin"] = row // sl
+            r = row % sl
+            out["range_bin"] = (r % n1) * n2 + r // n1   # de-interleave
+            out["saturation_count"] = jnp.int32(0)
+            out["nonfinite_count"] = jnp.sum(nf).astype(jnp.int32)
+            if include_maps:
+                out["mag_cube"] = mag_s
+                out["det_cube"] = jnp.swapaxes(det_s, 1, 2).reshape(
+                    n_beams, p.n_range, p.n_doppler)
+            return out
+
+        def beam_frontend(re1, im1):
             re2, im2 = F.fft_apply(re1, im1, axis=1, window=True,
                                    method=fft_method, precision=precision)
             re3, im3 = F.doppler_apply(re2, im2, axis=0, bypass=mti_bypass,
@@ -398,7 +450,7 @@ def make_array_processor(params: RadarParams | None = None,
                                        precision=precision)
             return M.magnitude_float(re3, im3, exact=magnitude_exact)
 
-        cube = jax.vmap(frontend)(br, bi)          # (B, n_range, n_doppler)
+        cube = jax.vmap(beam_frontend)(br, bi)     # (B, n_range, n_doppler)
         det, _, _ = C.cfar_3d(cube, scale_override, cfar=p.cfar,
                               integer=False, ref_angle=ref_angle,
                               guard_angle=guard_angle, method=cfar_method)

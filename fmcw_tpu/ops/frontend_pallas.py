@@ -886,10 +886,14 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
                  detect: bool = False, scale_override=0,
                  emit_mag: bool = True, peak_group_radius: int = 0,
                  emit_topk: bool = True, outer: str = "direct"):
-    """Fused front-end for one frame: iq int16 (nd, nr, 2) -> magnitude
+    """Fused front-end for one frame: iq (nd, nr, 2) -> magnitude
     f32 (nr, nd), nr a multiple-of-128 with nr/128 <= 16 (or nr <= 128).
-    Batch by vmapping (the batch dim becomes the Pallas grid, as with the
-    CFAR kernels); matrices stay VMEM-resident across grid steps.
+    ``iq`` is int16 for the radar ingest path, or float32 for upstream
+    float producers (e.g. beamformed element data,
+    models/pipeline.make_array_processor) — the kernel's first stage works
+    in f32 either way.  Batch by vmapping (the batch dim becomes the Pallas
+    grid, as with the CFAR kernels); matrices stay VMEM-resident across
+    grid steps.
 
     ``cfar`` (a CfarParams with scale_mode='block', scale_block == nr/128,
     edge_mode='wrap'): also emit the clutter-map scale from the in-VMEM mag

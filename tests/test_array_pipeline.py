@@ -65,6 +65,37 @@ def test_single_element_single_beam_matches_2d_pipeline():
     assert (out_a["beam_bin"][v] == 0).all()
 
 
+def test_fused_frontend_matches_xla_chain():
+    """frontend='pallas' (fused per-beam front-end+detect kernel on the
+    beamformed float I/Q, bf16x3) vs the vmapped XLA chain + cfar_3d
+    (ref_angle=0): identical (beam, range, doppler) detection sets, det-cube
+    support, and mag cube to the bf16x3 scale-relative tolerance."""
+    import pytest
+    iq = _element_frames(0.4, seed=11)
+    proc_x = pl.make_array_processor(P, n_elems=N_ELEMS, n_beams=N_BEAMS,
+                                     frontend="xla")
+    proc_p = pl.make_array_processor(P, n_elems=N_ELEMS, n_beams=N_BEAMS,
+                                     frontend="pallas")
+    a = jax.tree.map(np.asarray, proc_x(iq))
+    b = jax.tree.map(np.asarray, proc_p(iq))
+    da = set(zip(a["beam_bin"][a["valid"]].tolist(),
+                 a["range_bin"][a["valid"]].tolist(),
+                 a["doppler_bin"][a["valid"]].tolist()))
+    db = set(zip(b["beam_bin"][b["valid"]].tolist(),
+                 b["range_bin"][b["valid"]].tolist(),
+                 b["doppler_bin"][b["valid"]].tolist()))
+    assert da and da == db
+    assert int(a["n_dets"]) == int(b["n_dets"])
+    assert np.array_equal(a["det_cube"] > 0, b["det_cube"] > 0)
+    scale = float(np.abs(a["mag_cube"]).max())
+    assert np.max(np.abs(a["mag_cube"] - b["mag_cube"])) / scale < 2e-4
+
+    # The fused path needs per-beam 2D decisions: ref_angle > 0 must refuse.
+    with pytest.raises(ValueError, match="ref_angle"):
+        pl.make_array_processor(P, n_elems=N_ELEMS, n_beams=N_BEAMS,
+                                ref_angle=1, frontend="pallas")
+
+
 def test_angle_extended_training_window():
     """ref_angle=1: the 3D training set spans neighbor beams; the point
     source still detects at the matched beam."""

@@ -1,0 +1,111 @@
+"""Array-radar model throughput A/B (stderr log; not the headline bench).
+
+Same-run comparison of pipeline.make_array_processor front-ends on HBM-
+resident element-space batches (bench.py methodology: best-of-reps,
+readback sync, distinct noise per frame):
+
+  * frontend="xla"    — vmapped XLA chain + cfar_3d (ref_angle=0)
+  * frontend="pallas" — fused per-beam Pallas front-end+detect kernel on
+                        the beamformed float I/Q (per-cell and block scale)
+
+Run: python tools/array_bench.py [--batch N] [--beams B]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import dataclasses
+
+    import jax
+
+    from fmcw_tpu import RadarParams
+    from fmcw_tpu.golden import reference
+    from fmcw_tpu.models import pipeline as pl
+
+    argv = sys.argv[1:]
+    batch_size = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 16
+    n_beams = int(argv[argv.index("--beams") + 1]) if "--beams" in argv else 8
+    n_elems = n_beams
+
+    p = RadarParams()
+    p_block = p.replace(cfar=dataclasses.replace(p.cfar, scale_mode="block"))
+    log(f"devices: {jax.devices()}  batch={batch_size} elems={n_elems} "
+        f"beams={n_beams} map={p.n_range}x{p.n_doppler}")
+
+    rng = np.random.default_rng(0)
+    z = np.asarray(reference.two_target_frame(p, seed=3))
+    elems = np.stack([
+        pl.complex_to_iq(z * np.exp(2j * np.pi * 0.5 * e * 0.3))
+        for e in range(n_elems)])                     # (E, nd, nr, 2) int16
+    batch = np.stack([elems] * batch_size)
+    batch = batch + rng.integers(-8, 8, batch.shape).astype(np.int16)
+    batch_dev = jax.device_put(batch)
+
+    def batched(p_cfg, **kw):
+        proc = pl.make_array_processor(p_cfg, n_elems=n_elems,
+                                       n_beams=n_beams, include_maps=False,
+                                       **kw)
+        import jax.numpy as jnp
+        fn = jax.jit(jax.vmap(proc.jitted, in_axes=(0, None, None)))
+        return lambda b: fn(b, jnp.asarray(False), jnp.asarray(0, jnp.int32))
+
+    configs = [
+        ("xla-chain+cfar3d/percell", batched(p, frontend="xla")),
+        ("fused-per-beam/percell", batched(p, frontend="pallas")),
+        ("fused-per-beam/block", batched(p_block, frontend="pallas")),
+    ]
+
+    def sync(out):
+        return np.asarray(out["n_dets"]).sum()
+
+    results = {}
+    ref = None
+    for name, fn in configs:
+        t0 = time.perf_counter()
+        out = fn(batch_dev)
+        sync(out)
+        log(f"{name}: compiled+warm in {time.perf_counter() - t0:.1f}s")
+        sync(fn(batch_dev))
+        best = 0.0
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                out = fn(batch_dev)
+            sync(out)
+            dt = time.perf_counter() - t0
+            best = max(best, batch_size * 8 / dt)
+        o = jax.tree.map(np.asarray, fn(batch_dev))
+        if ref is None:
+            ref = o
+            ok = True
+        else:
+            v = ref["valid"][0]
+            ok = bool(np.array_equal(o["range_bin"][0][v],
+                                     ref["range_bin"][0][v])
+                      and np.array_equal(o["beam_bin"][0][v],
+                                         ref["beam_bin"][0][v]))
+        results[name] = (best, ok)
+        log(f"{name}: {best:.1f} cubes/s = {best * n_beams:.0f} beam-maps/s"
+            f"  detection-parity={ok}")
+
+    base = results[configs[0][0]][0]
+    for name, (fps, ok) in results.items():
+        log(f"  {name}: {fps / base:.2f}x vs xla  parity={ok}")
+
+
+if __name__ == "__main__":
+    main()
