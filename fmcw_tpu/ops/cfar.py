@@ -400,7 +400,8 @@ def cfar_1d(x: jnp.ndarray, ref_cells: int = 8, guard_cells: int = 2,
 
 def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
             cfar: CfarParams = CfarParams(), integer: bool = False,
-            ref_angle: int = 0, guard_angle: int = 0, method: str = "auto"):
+            ref_angle: int = 0, guard_angle: int = 0, method: str = "auto",
+            prepadded_angle: bool = False):
     """Angle-bin extension of the 2D CFAR (BASELINE config 4).
 
     ``cube``: (n_angle, n_range, n_doppler) magnitude maps, one per beam.
@@ -413,8 +414,17 @@ def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
       over the enlarged training set.  The percentile rank follows
       CfarParams.rank_pct on the enlarged n_ref.
 
+    ``prepadded_angle`` (ref_angle > 0 only): the cube already carries
+    ``ref_angle + guard_angle`` halo planes on each side of axis 0 — the
+    beam-axis halo exchange of parallel/sharded.make_sharded_array_processor
+    supplies the neighbor shards' planes, so no angle edge padding is
+    applied here (range/Doppler still pad with ``cfar.edge_mode``).  The
+    returned maps cover only the interior planes.
+
     Returns (det_cube, threshold, scale) like cfar_2d.
     """
+    if prepadded_angle and ref_angle == 0:
+        raise ValueError("prepadded_angle needs ref_angle > 0")
     if ref_angle == 0:
         f = lambda m: cfar_2d_auto(m, scale_override, cfar=cfar,
                                    integer=integer, method=method)
@@ -438,8 +448,13 @@ def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
 
     ha = ref_angle + guard_angle
     hr, hd = cfar.halo_range, cfar.halo_doppler
-    padded = jnp.pad(cube, ((ha, ha), (hr, hr), (hd, hd)),
-                     mode=cfar.edge_mode)
+    if prepadded_angle:
+        padded = jnp.pad(cube, ((0, 0), (hr, hr), (hd, hd)),
+                         mode=cfar.edge_mode)
+        cube = cube[ha:-ha]                        # interior planes = CUTs
+    else:
+        padded = jnp.pad(cube, ((ha, ha), (hr, hr), (hd, hd)),
+                         mode=cfar.edge_mode)
     A, R, D = cube.shape
 
     def view(da, dr, dd):

@@ -317,3 +317,220 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
 
     process.jitted = sharded
     return process
+
+
+def make_sharded_array_processor(mesh: jax.sharding.Mesh,
+                                 params: RadarParams | None = None,
+                                 n_elems: int = 8, n_beams: int = 8,
+                                 fft_method: str = "matmul",
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 mti_transient: str = "zero",
+                                 magnitude_exact: bool = False,
+                                 ref_angle: int = 0, guard_angle: int = 0,
+                                 spacing_wl: float = 0.5,
+                                 max_angle_deg: float = 60.0,
+                                 taper: str | None = None,
+                                 cfar_method: str = "auto",
+                                 include_maps: bool = False,
+                                 frontend: str = "auto"):
+    """Multi-chip array-radar model: batch over ``dp``, BEAMS over ``sp``.
+
+    Sharding design (the angle-axis analog of make_sharded_processor's
+    range sharding): the element-space cube is replicated over sp — every
+    beam needs every element — and each chip forms its ``n_beams/sp`` beam
+    block and runs the per-beam front-end + CFAR on it.  The steering
+    matmul runs in full on every chip (it is ~1e-4 of the front-end FLOPs)
+    and the local block is sliced out, so the local beams' float ops are
+    IDENTICAL to the single-chip model's.  ``ref_angle > 0`` training sets
+    span neighbor beams: a ppermute ring halo exchange supplies the
+    ``ref_angle + guard_angle`` neighbor beam planes
+    (ops/cfar.cfar_3d ``prepadded_angle``), matching the single-chip wrap
+    (or reflect) angle-edge semantics bit-for-bit.  Detections come back
+    replicated: local top-K with global beam ids -> all_gather -> global
+    top-K, same detection set as single-chip pipeline.make_array_processor
+    when both run the same front-end.
+
+    ``frontend`` follows make_array_processor: "auto" resolves to the
+    fully-fused per-beam Pallas front-end+detect kernel on TPU when
+    ``ref_angle == 0`` and fused_detect_supported holds (per-chip speed
+    matches tools/array_bench.py's fused figures; dp and the beam shards
+    scale it); the vmapped XLA chain + cfar_3d otherwise.
+
+    Returned callable: ``fn(iq, mti_bypass=False, scale_override=0)`` with
+    iq int16[(batch, n_elems, n_doppler, n_range, 2)], batch divisible by
+    dp, n_beams divisible by sp.  ``include_maps`` adds mag/det cubes,
+    batch-sharded over dp and beam-sharded over sp.
+    """
+    p = params or RadarParams()
+    from ..models import pipeline as PL
+    from ..ops import beamform as BF
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    if n_beams % sp:
+        raise ValueError(f"n_beams={n_beams} must divide the sp axis ({sp})")
+    bl = n_beams // sp
+    ha = ref_angle + guard_angle
+    if ref_angle > 0 and sp > 1:
+        if ha > bl:
+            # Single-hop ring exchange: at most one neighbor shard's planes.
+            raise ValueError(
+                f"angle halo (ref_angle+guard_angle = {ha}) must not exceed "
+                f"the local beam extent (n_beams/sp = {bl})")
+        if p.cfar.edge_mode == "reflect" and ha + 1 > bl:
+            raise ValueError(
+                f"edge_mode='reflect' needs ref_angle+guard_angle+1 <= "
+                f"n_beams/sp ({ha + 1} > {bl}) for the edge shards' mirror")
+    max_dets = p.tracker.max_dets
+    if frontend == "auto":
+        frontend = ("pallas" if (jax.default_backend() == "tpu"
+                                 and ref_angle == 0
+                                 and fft_method == "matmul"
+                                 and PL.fused_detect_supported(
+                                     p, "float32", 0, cfar_method))
+                    else "xla")
+    use_fused = frontend == "pallas"
+    if use_fused and not (ref_angle == 0 and PL.fused_detect_supported(
+            p, "float32", 0, cfar_method)):
+        raise ValueError(
+            "frontend='pallas' on the array model needs ref_angle == 0 "
+            "(per-beam 2D decisions) and fused-detect-compatible CfarParams "
+            "(pipeline.fused_detect_supported)")
+
+    def frame_fn(iq, mti_bypass, scale_override):
+        """Per-(dp, sp) shard single-cube body.  iq local shape:
+        (n_elems, n_doppler, n_range, 2) — elements replicated over sp."""
+        sp_idx = jax.lax.axis_index("sp")
+        re = iq[..., 0].astype(jnp.float32)
+        im = iq[..., 1].astype(jnp.float32)
+        br, bi = BF.beamform(re, im, n_beams, spacing_wl=spacing_wl,
+                             max_angle_deg=max_angle_deg, taper=taper,
+                             precision=precision)
+        br = jax.lax.dynamic_slice_in_dim(br, sp_idx * bl, bl, axis=0)
+        bi = jax.lax.dynamic_slice_in_dim(bi, sp_idx * bl, bl, axis=0)
+
+        maps = {}
+        if use_fused:
+            from ..ops.frontend_pallas import rdm_frontend
+            biq = jnp.stack([br, bi], axis=-1)        # (bl, nd, nr, 2) f32
+            det_s, mag_s, nf, rmax, ndets = jax.vmap(
+                lambda x: rdm_frontend(
+                    x, mti_bypass, notch_mode=p.notch_mode,
+                    transient=mti_transient, exact_mag=magnitude_exact,
+                    interpret=jax.default_backend() != "tpu", cfar=p.cfar,
+                    detect=True, scale_override=scale_override,
+                    emit_mag=include_maps))(biq)
+            n2 = max(p.n_range // 128, 1)
+            n1 = min(p.n_range, 128)
+            flat = det_s.reshape(bl * n2 * n1, p.n_doppler)
+            local = DET.topk_detections(flat, max_dets=max_dets,
+                                        row_max=rmax.reshape(-1),
+                                        n_dets=jnp.sum(ndets))
+            row = local["range_bin"]
+            sl = n2 * n1
+            local_b = row // sl + sp_idx * bl
+            r = row % sl
+            local_r = (r % n1) * n2 + r // n1          # de-interleave
+            nonfinite = jnp.sum(nf).astype(jnp.int32)
+            if include_maps:
+                maps["mag_cube"] = mag_s
+                maps["det_cube"] = jnp.swapaxes(det_s, 1, 2).reshape(
+                    bl, p.n_range, p.n_doppler)
+        else:
+            def beam_frontend(re1, im1):
+                re2, im2 = F.fft_apply(re1, im1, axis=1, window=True,
+                                       method=fft_method, precision=precision)
+                re3, im3 = F.doppler_apply(re2, im2, axis=0,
+                                           bypass=mti_bypass,
+                                           notch_mode=p.notch_mode,
+                                           transient=mti_transient,
+                                           precision=precision)
+                return M.magnitude_float(re3, im3, exact=magnitude_exact)
+
+            cube = jax.vmap(beam_frontend)(br, bi)     # (bl, nr, nd)
+            nonfinite = jnp.sum(~jnp.isfinite(cube)).astype(jnp.int32)
+            if ref_angle > 0 and sp > 1:
+                # Cross-beam training set: ring-exchange the neighbor
+                # shards' ha beam planes (wrap == the single-chip pad;
+                # reflect mirrors locally on the edge shards).
+                cube_h = _halo_exchange_rows(cube, ha, "sp", p.cfar.edge_mode)
+                det, _, _ = C.cfar_3d(cube_h, scale_override, cfar=p.cfar,
+                                      integer=False, ref_angle=ref_angle,
+                                      guard_angle=guard_angle,
+                                      method=cfar_method,
+                                      prepadded_angle=True)
+            else:
+                det, _, _ = C.cfar_3d(cube, scale_override, cfar=p.cfar,
+                                      integer=False, ref_angle=ref_angle,
+                                      guard_angle=guard_angle,
+                                      method=cfar_method)
+            flat = det.reshape(bl * p.n_range, p.n_doppler)
+            local = DET.topk_detections(flat, max_dets=max_dets)
+            local_b = local["range_bin"] // p.n_range + sp_idx * bl
+            local_r = local["range_bin"] % p.n_range
+            if include_maps:
+                maps["mag_cube"] = cube
+                maps["det_cube"] = det
+
+        all_mag = jax.lax.all_gather(local["mag"], "sp", tiled=True)
+        all_b = jax.lax.all_gather(local_b, "sp", tiled=True)
+        all_r = jax.lax.all_gather(local_r, "sp", tiled=True)
+        all_d = jax.lax.all_gather(local["doppler_bin"], "sp", tiled=True)
+        vals, idx = jax.lax.top_k(all_mag, max_dets)
+        out = {
+            "beam_bin": all_b[idx],
+            "range_bin": all_r[idx],
+            "doppler_bin": all_d[idx],
+            "mag": vals,
+            "valid": vals > 0,
+            "n_dets": jax.lax.psum(local["n_dets"], "sp"),
+            "saturation_count": jnp.int32(0),
+            "nonfinite_count": jax.lax.psum(nonfinite, "sp"),
+        }
+        out.update(maps)
+        return out
+
+    def batch_fn(iq, mti_bypass, scale_override):
+        return jax.vmap(frame_fn, in_axes=(0, None, None))(
+            iq, mti_bypass, scale_override)
+
+    rep_spec = P("dp")
+    out_specs = {
+        "beam_bin": rep_spec, "range_bin": rep_spec, "doppler_bin": rep_spec,
+        "mag": rep_spec, "valid": rep_spec, "n_dets": rep_spec,
+        "saturation_count": rep_spec, "nonfinite_count": rep_spec,
+    }
+    if include_maps:
+        out_specs["mag_cube"] = P("dp", "sp", None, None)
+        out_specs["det_cube"] = P("dp", "sp", None, None)
+
+    sharded = jax.jit(jax.shard_map(
+        batch_fn, mesh=mesh,
+        in_specs=(P("dp", None, None, None, None), P(), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    ))
+
+    def _ctrl(x, dtype):
+        return x if isinstance(x, jax.Array) else np.asarray(x, dtype)
+
+    multi_process = len({d.process_index for d in mesh.devices.flat}) > 1
+
+    def process(iq, mti_bypass=False, scale_override=0):
+        if iq.ndim != 5 or iq.shape[1:] != (n_elems, p.n_doppler,
+                                            p.n_range, 2):
+            raise ValueError(
+                f"expected element-space iq batch of shape (batch, "
+                f"{n_elems}, {p.n_doppler}, {p.n_range}, 2), got {iq.shape}")
+        if iq.shape[0] % dp:
+            raise ValueError(f"batch {iq.shape[0]} not divisible by dp={dp}")
+        if multi_process and not isinstance(iq, jax.Array):
+            spec = jax.sharding.NamedSharding(
+                mesh, P("dp", None, None, None, None))
+            arr = np.asarray(iq)
+            iq = jax.make_array_from_callback(arr.shape, spec,
+                                              lambda idx: arr[idx])
+        return sharded(iq, _ctrl(mti_bypass, np.bool_),
+                       _ctrl(scale_override, np.int32))
+
+    process.jitted = sharded
+    return process

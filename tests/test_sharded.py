@@ -194,3 +194,105 @@ def test_sharded_fused_fixed_dp_only():
     with pytest.raises(ValueError, match="frame-DP"):
         sh.make_sharded_processor(M.make_mesh(dp=1, sp=8), p,
                                   mode="fixed", frontend="pallas")
+
+
+def _element_batch(p, n_elems, n_frames, seed0=4):
+    """Point-source element-space batches (per-element phase-shifted copies
+    of a single-channel target frame plus independent noise)."""
+    rng = np.random.default_rng(seed0)
+    frames = []
+    for b in range(n_frames):
+        z = np.asarray(ref.two_target_frame(p, seed=seed0 + b,
+                                            targets=((60, 20, 12000),)))
+        elems = []
+        for e in range(n_elems):
+            ph = np.exp(2j * np.pi * 0.5 * e * 0.4)
+            noisy = z * ph + (rng.normal(0, 8, z.shape)
+                              + 1j * rng.normal(0, 8, z.shape))
+            elems.append(pl.complex_to_iq(noisy))
+        frames.append(np.stack(elems))
+    return np.stack(frames)
+
+
+def _array_params():
+    import dataclasses
+    from fmcw_tpu import RadarParams
+
+    p = RadarParams(n_range=256, n_doppler=64)
+    return p.replace(cfar=dataclasses.replace(p.cfar, scale_block=2))
+
+
+def _dets3(out, i):
+    v = out["valid"][i]
+    return set(zip(out["beam_bin"][i][v].tolist(),
+                   out["range_bin"][i][v].tolist(),
+                   out["doppler_bin"][i][v].tolist()))
+
+
+@pytest.mark.parametrize("dp,sp,ref_angle,guard_angle", [
+    (2, 4, 0, 0),     # per-beam 2D decisions, beams sharded
+    (1, 8, 1, 0),     # cross-beam training set: beam-plane halo exchange
+    (2, 4, 1, 1),     # halo = 2 = full local beam extent
+])
+def test_sharded_array_matches_single_chip(dp, sp, ref_angle, guard_angle):
+    """Beams sharded over sp: identical detection sets, counts, and cubes
+    vs the single-chip array model (same XLA front-end on both sides)."""
+    p = _array_params()
+    n_elems = n_beams = 8
+    batch = _element_batch(p, n_elems, 2 * dp)
+    mesh = M.make_mesh(dp=dp, sp=sp)
+    proc = sh.make_sharded_array_processor(
+        mesh, p, n_elems=n_elems, n_beams=n_beams, ref_angle=ref_angle,
+        guard_angle=guard_angle, include_maps=True, frontend="xla")
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = pl.make_array_processor(
+        p, n_elems=n_elems, n_beams=n_beams, ref_angle=ref_angle,
+        guard_angle=guard_angle, include_maps=True, frontend="xla")
+    for i in range(batch.shape[0]):
+        want = jax.tree.map(np.asarray, single(batch[i]))
+        assert out["n_dets"][i] == want["n_dets"]
+        assert _dets3(out, i) == set(zip(
+            want["beam_bin"][want["valid"]].tolist(),
+            want["range_bin"][want["valid"]].tolist(),
+            want["doppler_bin"][want["valid"]].tolist()))
+        assert _dets3(out, i)           # nonempty
+        np.testing.assert_allclose(out["mag_cube"][i], want["mag_cube"],
+                                   rtol=2e-5)
+        assert np.array_equal(out["det_cube"][i] > 0, want["det_cube"] > 0)
+        assert out["nonfinite_count"][i] == want["nonfinite_count"]
+
+
+def test_sharded_array_reflect_edges():
+    """edge_mode='reflect': the angle halo mirrors locally on the edge beam
+    shards; detections still match the single chip exactly."""
+    import dataclasses
+
+    p = _array_params()
+    p = p.replace(cfar=dataclasses.replace(p.cfar, edge_mode="reflect"))
+    n_elems = n_beams = 8
+    batch = _element_batch(p, n_elems, 2, seed0=11)
+    mesh = M.make_mesh(dp=2, sp=4)
+    proc = sh.make_sharded_array_processor(
+        mesh, p, n_elems=n_elems, n_beams=n_beams, ref_angle=1,
+        frontend="xla")
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = pl.make_array_processor(p, n_elems=n_elems, n_beams=n_beams,
+                                     ref_angle=1, include_maps=False,
+                                     frontend="xla")
+    for i in range(batch.shape[0]):
+        want = jax.tree.map(np.asarray, single(batch[i]))
+        assert out["n_dets"][i] == want["n_dets"]
+        assert _dets3(out, i) == set(zip(
+            want["beam_bin"][want["valid"]].tolist(),
+            want["range_bin"][want["valid"]].tolist(),
+            want["doppler_bin"][want["valid"]].tolist()))
+
+
+def test_sharded_array_halo_gate():
+    """ref_angle+guard_angle beyond the local beam extent refuses (the ring
+    exchange is single-hop)."""
+    p = _array_params()
+    mesh = M.make_mesh(dp=1, sp=8)       # 8 beams / 8 shards -> bl = 1
+    with pytest.raises(ValueError, match="angle halo"):
+        sh.make_sharded_array_processor(mesh, p, n_elems=8, n_beams=8,
+                                        ref_angle=2, frontend="xla")
