@@ -365,7 +365,9 @@ def make_array_processor(params: RadarParams | None = None,
                          taper: str | None = None,
                          cfar_method: str = "auto",
                          include_maps: bool = True,
-                         frontend: str = "auto") -> Callable:
+                         frontend: str = "auto",
+                         peak_group_radius: int = 0,
+                         beam_group_radius: int = 0) -> Callable:
     """Array-radar model (the BASELINE config-4 angle extension at model
     level): element-space I/Q -> ULA phase-shift beamformer (ops/beamform,
     one MXU matmul over the element axis) -> per-beam range-Doppler
@@ -380,6 +382,18 @@ def make_array_processor(params: RadarParams | None = None,
     otherwise (always for ``ref_angle > 0``, whose training set spans
     neighbor beams).
 
+    Peak grouping: ``peak_group_radius`` groups each beam's 2D map
+    (ops/cfar.peak_group semantics — in-kernel on the fused path), then
+    ``beam_group_radius`` collapses cross-beam duplicates of the same
+    (range, doppler) cell to the strongest beam (ops/cfar.peak_group_beams
+    — the beam axis is not periodic).  A target detected in several
+    adjacent beams otherwise floods the fixed-capacity detection buffer
+    with copies of itself.  Cross-frontend caveat: grouping keeps strict
+    local maxima, so skirt cells whose magnitudes sit within the
+    bf16x3/HIGHEST numeric gap may pick a different (equally valid)
+    survivor under frontend='pallas' than under the XLA chain — the
+    detection sets agree up to such near-tie flips, not exactly.
+
     Returned callable: ``fn(iq, mti_bypass=False, scale_override=0)`` with
     iq int16[(n_elems, n_doppler, n_range, 2)].  Output adds ``beam_bin``
     to the usual detection arrays; ``include_maps`` returns the
@@ -392,12 +406,13 @@ def make_array_processor(params: RadarParams | None = None,
         frontend = ("pallas" if (jax.default_backend() == "tpu"
                                  and ref_angle == 0
                                  and fft_method == "matmul"
-                                 and fused_detect_supported(p, "float32", 0,
-                                                            cfar_method))
+                                 and fused_detect_supported(
+                                     p, "float32", peak_group_radius,
+                                     cfar_method))
                     else "xla")
     use_fused = frontend == "pallas"
     if use_fused and not (ref_angle == 0 and fused_detect_supported(
-            p, "float32", 0, cfar_method)):
+            p, "float32", peak_group_radius, cfar_method)):
         raise ValueError(
             "frontend='pallas' on the array model needs ref_angle == 0 "
             "(per-beam 2D decisions) and fused-detect-compatible "
@@ -412,7 +427,8 @@ def make_array_processor(params: RadarParams | None = None,
                              precision=precision)
 
         if use_fused:
-            # Fully-fused per-beam kernel on the beamformed float I/Q.
+            # Fully-fused per-beam kernel on the beamformed float I/Q
+            # (2D peak grouping runs in-kernel).
             from ..ops.frontend_pallas import rdm_frontend
             biq = jnp.stack([br, bi], axis=-1)      # (B, nd, nr, 2) f32
             det_s, mag_s, nf, rmax, ndets = jax.vmap(
@@ -421,20 +437,36 @@ def make_array_processor(params: RadarParams | None = None,
                     transient=mti_transient, exact_mag=magnitude_exact,
                     interpret=jax.default_backend() != "tpu", cfar=p.cfar,
                     detect=True, scale_override=scale_override,
+                    peak_group_radius=peak_group_radius,
                     emit_mag=include_maps))(biq)
             n2 = max(p.n_range // 128, 1)
             n1 = min(p.n_range, 128)
+            out = {"saturation_count": jnp.int32(0),
+                   "nonfinite_count": jnp.sum(nf).astype(jnp.int32)}
+            if beam_group_radius > 0:
+                # Cross-beam grouping needs the de-interleaved cubes; the
+                # kernel's row maxes are stale after it, so extraction runs
+                # a plain flat top-K on the grouped cube.
+                det = jnp.swapaxes(det_s, 1, 2).reshape(
+                    n_beams, p.n_range, p.n_doppler)
+                det = C.peak_group_beams(det, radius=beam_group_radius)
+                flat = det.reshape(n_beams * p.n_range, p.n_doppler)
+                out.update(DET.topk_detections(flat, max_dets=max_dets))
+                out["beam_bin"] = out["range_bin"] // p.n_range
+                out["range_bin"] = out["range_bin"] % p.n_range
+                if include_maps:
+                    out["mag_cube"] = mag_s
+                    out["det_cube"] = det
+                return out
             flat = det_s.reshape(n_beams * n2 * n1, p.n_doppler)
-            out = DET.topk_detections(flat, max_dets=max_dets,
-                                      row_max=rmax.reshape(-1),
-                                      n_dets=jnp.sum(ndets))
+            out.update(DET.topk_detections(flat, max_dets=max_dets,
+                                           row_max=rmax.reshape(-1),
+                                           n_dets=jnp.sum(ndets)))
             row = out["range_bin"]
             sl = n2 * n1
             out["beam_bin"] = row // sl
             r = row % sl
             out["range_bin"] = (r % n1) * n2 + r // n1   # de-interleave
-            out["saturation_count"] = jnp.int32(0)
-            out["nonfinite_count"] = jnp.sum(nf).astype(jnp.int32)
             if include_maps:
                 out["mag_cube"] = mag_s
                 out["det_cube"] = jnp.swapaxes(det_s, 1, 2).reshape(
@@ -454,6 +486,11 @@ def make_array_processor(params: RadarParams | None = None,
         det, _, _ = C.cfar_3d(cube, scale_override, cfar=p.cfar,
                               integer=False, ref_angle=ref_angle,
                               guard_angle=guard_angle, method=cfar_method)
+        if peak_group_radius > 0:
+            det = jax.vmap(
+                lambda d: C.peak_group(d, radius=peak_group_radius))(det)
+        if beam_group_radius > 0:
+            det = C.peak_group_beams(det, radius=beam_group_radius)
         flat = det.reshape(n_beams * p.n_range, p.n_doppler)
         out = DET.topk_detections(flat, max_dets=max_dets)
         out["beam_bin"] = out["range_bin"] // p.n_range
@@ -483,6 +520,24 @@ def make_batch_processor(params: RadarParams | None = None, **kw) -> Callable:
     -> dict of batched outputs.  Data parallelism over frames on one chip;
     shard the batch axis over a mesh for multi-chip DP (parallel/sharded.py)."""
     single = make_processor(params, **kw)
+    batched = jax.jit(jax.vmap(single.jitted, in_axes=(0, None, None)))
+
+    def process(iq, mti_bypass=False, scale_override=0):
+        return batched(iq, jnp.asarray(mti_bypass, dtype=jnp.bool_),
+                       jnp.asarray(scale_override, dtype=jnp.int32))
+
+    process.jitted = batched
+    return process
+
+
+def make_batch_array_processor(params: RadarParams | None = None,
+                               **kw) -> Callable:
+    """vmapped multi-cube array processor: iq int16[(batch, n_elems,
+    n_doppler, n_range, 2)] -> batched make_array_processor outputs.  Feeds
+    runtime/surveillance.run_surveillance with element-space scan batches
+    (the detection keys match the single-channel batch processor's; the
+    extra beam_bin rides along)."""
+    single = make_array_processor(params, **kw)
     batched = jax.jit(jax.vmap(single.jitted, in_axes=(0, None, None)))
 
     def process(iq, mti_bypass=False, scale_override=0):

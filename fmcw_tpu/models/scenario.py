@@ -65,6 +65,10 @@ class Target:
     rcs_m2: float
     active: bool = True
     is_notching: bool = False
+    # Steering sine sin(azimuth) for element-space synthesis
+    # (element_frames); the reference's single-channel testbench has no
+    # angle dimension, so frame() ignores it.
+    bearing_u: float = 0.0
 
 
 def _rcs_to_amp(rcs: float, rng: float) -> float:
@@ -101,11 +105,15 @@ class TacticalScenario:
         self.p = params or RadarParams()
         self.cfg = cfg or ScenarioConfig()
         self.rng = np.random.default_rng(self.cfg.seed)
+        # Bearings (steering sines) only matter for element_frames: the
+        # fighter formation approaches off one bow, the attackers the other.
         self.fighters = [
-            Target(45.0 * NM_TO_M + self.FTR_OFFSET[i % 6], -MACH_MPS, 12.0)
+            Target(45.0 * NM_TO_M + self.FTR_OFFSET[i % 6], -MACH_MPS, 12.0,
+                   bearing_u=0.30 + 0.02 * i)
             for i in range(self.cfg.n_fighters)]
         self.attackers = [
-            Target(39.0 * NM_TO_M, -0.65 * MACH_MPS, 20.0)
+            Target(39.0 * NM_TO_M, -0.65 * MACH_MPS, 20.0,
+                   bearing_u=-0.35 - 0.03 * i)
             for i in range(self.cfg.n_attackers)]
 
     def _advance(self, scan: int) -> None:
@@ -133,34 +141,33 @@ class TacticalScenario:
             out.append((rb, db, _rcs_to_amp(t.rcs_m2, t.range_m)))
         return out
 
-    def frame(self, scan: int) -> tuple[np.ndarray, list]:
-        """Synthesize the scan's CPI.  Returns (complex frame (n_doppler,
-        n_range), truth list).  Vectorized equivalent of the per-sample loop
-        tb_tactical.vhd:247-319."""
+    def _target_tone(self, rb: int, db: int, amp: float) -> np.ndarray:
+        """One target's (n_doppler, n_range) complex contribution."""
         p, cfg = self.p, self.cfg
-        self._advance(scan)
-        prf = cfg.prf_hz[(scan - 1) % 3]
-        truth = self.truth(prf)
+        s = np.arange(p.n_range)
+        c = np.arange(p.n_doppler)
+        if cfg.burst_synthesis:
+            # Reference-faithful: amplitude-gated 5-sample burst at
+            # s ~ rb, amp*0.3/|ds| at the skirts (tb_tactical.vhd:252-266).
+            amp_s = np.zeros(p.n_range)
+            for ds in range(-2, 3):
+                if 0 <= rb + ds < p.n_range:
+                    amp_s[rb + ds] = amp if ds == 0 else amp * 0.3 / abs(ds)
+        else:
+            # Physically-correct point target: full-length tone.
+            amp_s = np.full(p.n_range, amp)
+        tone_s = amp_s * np.exp(2j * np.pi * rb * s / p.n_range)
+        tone_c = np.exp(2j * np.pi * db * c / p.n_doppler)
+        return tone_c[:, None] * tone_s[None, :]
 
+    def _clutter_noise(self) -> np.ndarray:
+        """One (n_doppler, n_range) clutter+thermal realization (draw order
+        matches the original in-frame sequence: clutter amplitude, clutter
+        phase, thermal re/im)."""
+        p, cfg = self.p, self.cfg
         s = np.arange(p.n_range)
         c = np.arange(p.n_doppler)
         acc = np.zeros((p.n_doppler, p.n_range), dtype=np.complex128)
-
-        for rb, db, amp in truth:
-            if cfg.burst_synthesis:
-                # Reference-faithful: amplitude-gated 5-sample burst at
-                # s ~ rb, amp*0.3/|ds| at the skirts (tb_tactical.vhd:252-266).
-                amp_s = np.zeros(p.n_range)
-                for ds in range(-2, 3):
-                    if 0 <= rb + ds < p.n_range:
-                        amp_s[rb + ds] = amp if ds == 0 else amp * 0.3 / abs(ds)
-            else:
-                # Physically-correct point target: full-length tone.
-                amp_s = np.full(p.n_range, amp)
-            tone_s = amp_s * np.exp(2j * np.pi * rb * s / p.n_range)
-            tone_c = np.exp(2j * np.pi * db * c / p.n_doppler)
-            acc += tone_c[:, None] * tone_s[None, :]
-
         # Sea clutter where s * range_res < clutter_rng strictly
         # (tb_tactical.vhd:290): the cell count is ceil(rng/res).
         n_clut = min(int(np.ceil(cfg.clutter_rng_m / cfg.range_res_m)),
@@ -174,21 +181,83 @@ class TacticalScenario:
                 + (self.rng.random((p.n_doppler, n_clut)) - 0.5) * 4.0
                 * c[:, None] / p.n_doppler)
             acc[:, :n_clut] += camp * np.exp(1j * cphase)
-
         # Thermal noise (Box-Muller in the TB; Gaussian here).
         acc += (self.rng.normal(0.0, cfg.thermal_noise, acc.shape)
                 + 1j * self.rng.normal(0.0, cfg.thermal_noise, acc.shape))
+        return acc
 
-        # Quantize like the TB: clip to +-32000 then VHDL integer()
-        # round-to-nearest (tb_tactical.vhd:306-312).
+    @staticmethod
+    def _quantize(acc: np.ndarray) -> np.ndarray:
+        """Quantize like the TB: clip to +-32000 then VHDL integer()
+        round-to-nearest (tb_tactical.vhd:306-312)."""
         re = np.clip(acc.real, -32000, 32000)
         im = np.clip(acc.imag, -32000, 32000)
         re = np.floor(np.abs(re) + 0.5) * np.sign(re)
         im = np.floor(np.abs(im) + 0.5) * np.sign(im)
-        return re + 1j * im, truth
+        return re + 1j * im
+
+    def frame(self, scan: int) -> tuple[np.ndarray, list]:
+        """Synthesize the scan's CPI.  Returns (complex frame (n_doppler,
+        n_range), truth list).  Vectorized equivalent of the per-sample loop
+        tb_tactical.vhd:247-319."""
+        p, cfg = self.p, self.cfg
+        self._advance(scan)
+        prf = cfg.prf_hz[(scan - 1) % 3]
+        truth = self.truth(prf)
+        acc = np.zeros((p.n_doppler, p.n_range), dtype=np.complex128)
+        for rb, db, amp in truth:
+            acc += self._target_tone(rb, db, amp)
+        acc += self._clutter_noise()
+        return self._quantize(acc), truth
+
+    def element_frames(self, scan: int, n_elems: int,
+                       spacing_wl: float = 0.5) -> tuple[np.ndarray, list]:
+        """Element-space CPI for an ``n_elems``-element ULA: the array-radar
+        stimulus (models/pipeline.make_array_processor).  Returns
+        (complex (n_elems, n_doppler, n_range), truth list of
+        (range_bin, doppler_bin, amp, bearing_u)).
+
+        Each target arrives as a plane wave from its ``bearing_u``: element
+        ``e`` sees its tone advanced by exp(+j 2*pi*spacing_wl*e*u) — the
+        conjugate of the steering weights ops/beamform.steering_matrix
+        applies, so the matched beam coheres.  Sea clutter is diffuse
+        scattering (decorrelated across the aperture) and thermal noise is
+        receiver-local: both draw independent realizations per element.
+        With ``n_elems == 1`` the draw sequence equals ``frame``'s exactly
+        (same RNG consumption), so a 1-element array reproduces the
+        single-channel stimulus bit-for-bit."""
+        p, cfg = self.p, self.cfg
+        self._advance(scan)
+        prf = cfg.prf_hz[(scan - 1) % 3]
+        truth = []
+        tones = []
+        for t in self.fighters + self.attackers:
+            if not t.active:
+                continue
+            rb = _range_to_bin(t.range_m, cfg, p.n_range)
+            db = _vel_to_doppler_bin(t.vel_radial, prf, cfg, p.n_doppler)
+            amp = _rcs_to_amp(t.rcs_m2, t.range_m)
+            truth.append((rb, db, amp, t.bearing_u))
+            tones.append((self._target_tone(rb, db, amp), t.bearing_u))
+        frames = np.empty((n_elems, p.n_doppler, p.n_range),
+                          dtype=np.complex128)
+        for e in range(n_elems):
+            acc = np.zeros((p.n_doppler, p.n_range), dtype=np.complex128)
+            for tone, u in tones:
+                acc += tone * np.exp(2j * np.pi * spacing_wl * e * u)
+            acc += self._clutter_noise()
+            frames[e] = self._quantize(acc)
+        return frames, truth
 
     def run(self):
         """Yield (scan, frame, truth) for every scan (1-based scans)."""
         for scan in range(1, self.cfg.num_scans + 1):
             frame, truth = self.frame(scan)
             yield scan, frame, truth
+
+    def run_elements(self, n_elems: int, spacing_wl: float = 0.5):
+        """Yield (scan, element_frames, truth) for every scan — the
+        element-space analog of ``run`` (see element_frames)."""
+        for scan in range(1, self.cfg.num_scans + 1):
+            frames, truth = self.element_frames(scan, n_elems, spacing_wl)
+            yield scan, frames, truth

@@ -527,3 +527,35 @@ def peak_group(det_map: jnp.ndarray, radius: int = 1,
             best_id = jnp.where(take, nid, best_id)
     keep = (m > 0) & (best == m) & (best_id == ids)
     return jnp.where(keep, m, jnp.zeros_like(m))
+
+
+def peak_group_beams(det_cube: jnp.ndarray, radius: int = 1,
+                     beam_ids: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Beam-axis peak grouping for the array model: keep det_cube[b, r, d]
+    only if it is the maximum over beams b-radius..b+radius at the SAME
+    (r, d) cell, ties toward the LOWER beam index (the tie rule of
+    peak_group).  Beamforming never shifts a target's range/Doppler cell,
+    so a target straddling adjacent beams collapses to its strongest beam;
+    combine with per-beam 2D peak_group for full (beam, range, doppler)
+    grouping.  The beam axis is NOT periodic (beam 0 and beam B-1 point
+    60 degrees apart): edges compare only against existing neighbors.
+
+    ``beam_ids``: optional global beam index per input plane — pass it for
+    a halo-extended beam shard (parallel/sharded.py) so the strict-compare
+    direction uses global beam order."""
+    m = det_cube
+    B = m.shape[0]
+    b_ids = (jnp.arange(B) if beam_ids is None
+             else beam_ids.astype(jnp.int32))
+    keep = m > 0
+    for o in range(-radius, radius + 1):
+        if o == 0:
+            continue
+        nb = jnp.roll(m, -o, axis=0)
+        nid = jnp.roll(b_ids, -o)
+        # Rolled-in wrap planes must not count: the beam axis has edges.
+        valid = ((nid[:, None, None] - b_ids[:, None, None]) == o)
+        nb = jnp.where(valid, nb, jnp.zeros_like(nb))
+        # Tie toward the lower beam: a lower-index neighbor wins equals.
+        keep &= (m > nb) if o < 0 else (m >= nb)
+    return jnp.where(keep, m, jnp.zeros_like(m))

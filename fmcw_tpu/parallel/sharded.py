@@ -332,7 +332,9 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
                                  taper: str | None = None,
                                  cfar_method: str = "auto",
                                  include_maps: bool = False,
-                                 frontend: str = "auto"):
+                                 frontend: str = "auto",
+                                 peak_group_radius: int = 0,
+                                 beam_group_radius: int = 0):
     """Multi-chip array-radar model: batch over ``dp``, BEAMS over ``sp``.
 
     Sharding design (the angle-axis analog of make_sharded_processor's
@@ -355,6 +357,12 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
     ``ref_angle == 0`` and fused_detect_supported holds (per-chip speed
     matches tools/array_bench.py's fused figures; dp and the beam shards
     scale it); the vmapped XLA chain + cfar_3d otherwise.
+
+    Peak grouping follows pipeline.make_array_processor:
+    ``peak_group_radius`` per beam (shard-local), ``beam_group_radius``
+    across beams — the cross-shard case ring-exchanges the neighbor beam
+    planes and passes true global beam ids so the non-periodic beam-edge
+    semantics match the single chip exactly.
 
     Returned callable: ``fn(iq, mti_bypass=False, scale_override=0)`` with
     iq int16[(batch, n_elems, n_doppler, n_range, 2)], batch divisible by
@@ -380,17 +388,22 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
             raise ValueError(
                 f"edge_mode='reflect' needs ref_angle+guard_angle+1 <= "
                 f"n_beams/sp ({ha + 1} > {bl}) for the edge shards' mirror")
+    if sp > 1 and beam_group_radius > bl:
+        raise ValueError(
+            f"beam_group_radius ({beam_group_radius}) must not exceed the "
+            f"local beam extent (n_beams/sp = {bl})")
     max_dets = p.tracker.max_dets
     if frontend == "auto":
         frontend = ("pallas" if (jax.default_backend() == "tpu"
                                  and ref_angle == 0
                                  and fft_method == "matmul"
                                  and PL.fused_detect_supported(
-                                     p, "float32", 0, cfar_method))
+                                     p, "float32", peak_group_radius,
+                                     cfar_method))
                     else "xla")
     use_fused = frontend == "pallas"
     if use_fused and not (ref_angle == 0 and PL.fused_detect_supported(
-            p, "float32", 0, cfar_method)):
+            p, "float32", peak_group_radius, cfar_method)):
         raise ValueError(
             "frontend='pallas' on the array model needs ref_angle == 0 "
             "(per-beam 2D decisions) and fused-detect-compatible CfarParams "
@@ -408,6 +421,20 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
         br = jax.lax.dynamic_slice_in_dim(br, sp_idx * bl, bl, axis=0)
         bi = jax.lax.dynamic_slice_in_dim(bi, sp_idx * bl, bl, axis=0)
 
+        def _beam_group(det):
+            """Cross-beam grouping on a (bl, nr, nd) local cube: ring-halo
+            the neighbor shards' planes; true global beam ids make the
+            non-periodic edge semantics exact (ops/cfar.peak_group_beams)."""
+            if sp == 1:
+                return C.peak_group_beams(det, radius=beam_group_radius)
+            ext = _halo_exchange_rows(det, beam_group_radius, "sp")
+            gids = (sp_idx * bl
+                    + jnp.arange(-beam_group_radius,
+                                 bl + beam_group_radius)) % n_beams
+            ext = C.peak_group_beams(ext, radius=beam_group_radius,
+                                     beam_ids=gids)
+            return ext[beam_group_radius:-beam_group_radius]
+
         maps = {}
         if use_fused:
             from ..ops.frontend_pallas import rdm_frontend
@@ -418,23 +445,36 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
                     transient=mti_transient, exact_mag=magnitude_exact,
                     interpret=jax.default_backend() != "tpu", cfar=p.cfar,
                     detect=True, scale_override=scale_override,
+                    peak_group_radius=peak_group_radius,
                     emit_mag=include_maps))(biq)
             n2 = max(p.n_range // 128, 1)
             n1 = min(p.n_range, 128)
-            flat = det_s.reshape(bl * n2 * n1, p.n_doppler)
-            local = DET.topk_detections(flat, max_dets=max_dets,
-                                        row_max=rmax.reshape(-1),
-                                        n_dets=jnp.sum(ndets))
-            row = local["range_bin"]
-            sl = n2 * n1
-            local_b = row // sl + sp_idx * bl
-            r = row % sl
-            local_r = (r % n1) * n2 + r // n1          # de-interleave
             nonfinite = jnp.sum(nf).astype(jnp.int32)
-            if include_maps:
-                maps["mag_cube"] = mag_s
-                maps["det_cube"] = jnp.swapaxes(det_s, 1, 2).reshape(
+            if beam_group_radius > 0:
+                det = jnp.swapaxes(det_s, 1, 2).reshape(
                     bl, p.n_range, p.n_doppler)
+                det = _beam_group(det)
+                flat = det.reshape(bl * p.n_range, p.n_doppler)
+                local = DET.topk_detections(flat, max_dets=max_dets)
+                local_b = local["range_bin"] // p.n_range + sp_idx * bl
+                local_r = local["range_bin"] % p.n_range
+                if include_maps:
+                    maps["mag_cube"] = mag_s
+                    maps["det_cube"] = det
+            else:
+                flat = det_s.reshape(bl * n2 * n1, p.n_doppler)
+                local = DET.topk_detections(flat, max_dets=max_dets,
+                                            row_max=rmax.reshape(-1),
+                                            n_dets=jnp.sum(ndets))
+                row = local["range_bin"]
+                sl = n2 * n1
+                local_b = row // sl + sp_idx * bl
+                r = row % sl
+                local_r = (r % n1) * n2 + r // n1      # de-interleave
+                if include_maps:
+                    maps["mag_cube"] = mag_s
+                    maps["det_cube"] = jnp.swapaxes(det_s, 1, 2).reshape(
+                        bl, p.n_range, p.n_doppler)
         else:
             def beam_frontend(re1, im1):
                 re2, im2 = F.fft_apply(re1, im1, axis=1, window=True,
@@ -463,6 +503,11 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
                                       integer=False, ref_angle=ref_angle,
                                       guard_angle=guard_angle,
                                       method=cfar_method)
+            if peak_group_radius > 0:
+                det = jax.vmap(
+                    lambda d: C.peak_group(d, radius=peak_group_radius))(det)
+            if beam_group_radius > 0:
+                det = _beam_group(det)
             flat = det.reshape(bl * p.n_range, p.n_doppler)
             local = DET.topk_detections(flat, max_dets=max_dets)
             local_b = local["range_bin"] // p.n_range + sp_idx * bl

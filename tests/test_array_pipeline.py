@@ -109,3 +109,112 @@ def test_angle_extended_training_window():
                     N_BEAMS)
     b_star = int(np.argmin(np.abs(u - u0)))
     assert out["beam_bin"][0] == b_star
+
+
+def test_element_frames_single_element_matches_frame():
+    """element_frames(E=1) consumes the RNG exactly like frame(): a
+    1-element array reproduces the single-channel stimulus bit-for-bit."""
+    from fmcw_tpu.models import scenario as sc
+
+    s1 = sc.TacticalScenario(P, sc.quick_scenario())
+    s2 = sc.TacticalScenario(P, sc.quick_scenario())
+    for scan in (1, 2):
+        frame, truth = s1.frame(scan)
+        ef, truth_b = s2.element_frames(scan, n_elems=1)
+        assert np.array_equal(frame, ef[0])
+        assert [t[:3] for t in truth_b] == truth
+        assert all(len(t) == 4 for t in truth_b)    # adds bearing_u
+
+
+def test_element_scenario_detects_at_matched_beam():
+    """Scenario element synthesis -> beamformed 3D pipeline: the strongest
+    detection lands at a truth target's range and its bearing's beam."""
+    import dataclasses
+    from fmcw_tpu import CfarParams
+    from fmcw_tpu.models import scenario as sc
+
+    n = 8
+    cfg = sc.quick_scenario()
+    cfg.burst_synthesis = False          # point targets: energy in one bin
+    # Demo CFAR geometry (guard band covers the target spread).
+    p = P.replace(cfar=dataclasses.replace(
+        CfarParams(ref_range=4, ref_doppler=3, guard_range=2,
+                   guard_doppler=1), scale_block=2))
+    scen = sc.TacticalScenario(p, cfg)
+    frames, truth = scen.element_frames(1, n_elems=n)
+    proc = pl.make_array_processor(p, n_elems=n, n_beams=n)
+    out = jax.tree.map(np.asarray, proc(pl.complex_to_iq(frames)))
+    assert out["valid"].any()
+    u = np.linspace(-np.sin(np.deg2rad(60.0)), np.sin(np.deg2rad(60.0)), n)
+    rb0, b0 = int(out["range_bin"][0]), int(out["beam_bin"][0])
+    matched = [t for t in truth if abs(t[0] - rb0) <= 2]
+    assert matched, (rb0, truth)
+    b_star = int(np.argmin(np.abs(u - matched[0][3])))
+    assert abs(b0 - b_star) <= 1
+
+
+def test_peak_group_beams_semantics():
+    """Beam-axis grouping: same-cell collapse to the strongest beam, ties
+    toward the lower beam, NO wrap between the first and last beams."""
+    import jax.numpy as jnp
+    from fmcw_tpu.ops.cfar import peak_group_beams
+
+    det = np.zeros((4, 3, 3), np.float32)
+    det[0, 0, 0] = 5
+    det[1, 0, 0] = 5        # tie -> beam 0 survives
+    det[2, 1, 1] = 6
+    det[3, 1, 1] = 7        # edge beam holds the max
+    det[0, 2, 2] = 4        # isolated detection
+    out = np.asarray(peak_group_beams(jnp.asarray(det), radius=1))
+    assert out[0, 0, 0] == 5 and out[1, 0, 0] == 0
+    assert out[3, 1, 1] == 7 and out[2, 1, 1] == 0
+    assert out[0, 2, 2] == 4
+    # Non-periodic: beams 0 and 3 are not neighbors even at radius 1.
+    det2 = np.zeros((4, 1, 1), np.float32)
+    det2[0, 0, 0] = 1
+    det2[3, 0, 0] = 2
+    out2 = np.asarray(peak_group_beams(jnp.asarray(det2), radius=1))
+    assert out2[0, 0, 0] == 1 and out2[3, 0, 0] == 2
+
+
+def test_array_grouping_fused_matches_xla():
+    """peak_group_radius + beam_group_radius: the fused path (in-kernel 2D
+    grouping + XLA beam grouping) agrees with the XLA chain up to near-tie
+    survivor flips — grouping keeps the strict local max, so cells whose
+    magnitudes differ by less than the bf16x3/HIGHEST numeric gap can pick
+    a different (equally valid) survivor.  The strongest detection and the
+    overwhelming majority of the set must match, and grouping must collapse
+    the multi-beam duplicates."""
+    iq = _element_frames(0.25, seed=6)
+    kw = dict(n_elems=N_ELEMS, n_beams=N_BEAMS, peak_group_radius=2,
+              beam_group_radius=1)
+    a = jax.tree.map(np.asarray, pl.make_array_processor(
+        P, frontend="xla", **kw)(iq))
+    b = jax.tree.map(np.asarray, pl.make_array_processor(
+        P, frontend="pallas", **kw)(iq))
+    raw = jax.tree.map(np.asarray, pl.make_array_processor(
+        P, frontend="xla", n_elems=N_ELEMS, n_beams=N_BEAMS)(iq))
+    assert int(a["n_dets"]) < int(raw["n_dets"])      # grouping reduces
+    assert abs(int(a["n_dets"]) - int(b["n_dets"])) <= 2
+    da = set(zip(a["beam_bin"][a["valid"]].tolist(),
+                 a["range_bin"][a["valid"]].tolist(),
+                 a["doppler_bin"][a["valid"]].tolist()))
+    db = set(zip(b["beam_bin"][b["valid"]].tolist(),
+                 b["range_bin"][b["valid"]].tolist(),
+                 b["doppler_bin"][b["valid"]].tolist()))
+    assert da and db
+    assert len(da ^ db) <= max(2, len(da) // 8)       # near-tie flips only
+    # Strongest detection (the target peak, no near-tie) matches exactly.
+    assert (int(a["beam_bin"][0]), int(a["range_bin"][0]),
+            int(a["doppler_bin"][0])) == (int(b["beam_bin"][0]),
+                                          int(b["range_bin"][0]),
+                                          int(b["doppler_bin"][0]))
+    # Adjacent-beam duplicates collapsed: survivors sharing a (range,
+    # doppler) cell are more than beam_group_radius apart (both frontends).
+    for dets in (da, db):
+        cells = {}
+        for bb, rr, dd in dets:
+            cells.setdefault((rr, dd), []).append(bb)
+        for beams in cells.values():
+            beams = sorted(beams)
+            assert all(b2 - b1 > 1 for b1, b2 in zip(beams, beams[1:]))

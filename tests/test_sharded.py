@@ -296,3 +296,26 @@ def test_sharded_array_halo_gate():
     with pytest.raises(ValueError, match="angle halo"):
         sh.make_sharded_array_processor(mesh, p, n_elems=8, n_beams=8,
                                         ref_angle=2, frontend="xla")
+
+
+def test_sharded_array_grouping_matches_single_chip():
+    """peak_group_radius + beam_group_radius on the beam-sharded mesh: the
+    cross-shard beam-plane exchange reproduces the single-chip grouping
+    (non-periodic beam edges included) exactly."""
+    p = _array_params()
+    n_elems = n_beams = 8
+    batch = _element_batch(p, n_elems, 2, seed0=21)
+    kw = dict(n_elems=n_elems, n_beams=n_beams, peak_group_radius=2,
+              beam_group_radius=1, frontend="xla")
+    mesh = M.make_mesh(dp=2, sp=4)
+    proc = sh.make_sharded_array_processor(mesh, p, include_maps=True, **kw)
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = pl.make_array_processor(p, include_maps=True, **kw)
+    for i in range(batch.shape[0]):
+        want = jax.tree.map(np.asarray, single(batch[i]))
+        assert out["n_dets"][i] == want["n_dets"]
+        assert _dets3(out, i) == set(zip(
+            want["beam_bin"][want["valid"]].tolist(),
+            want["range_bin"][want["valid"]].tolist(),
+            want["doppler_bin"][want["valid"]].tolist()))
+        assert np.array_equal(out["det_cube"][i] > 0, want["det_cube"] > 0)

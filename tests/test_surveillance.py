@@ -74,3 +74,36 @@ def test_golden_chirp_file_end_to_end():
     v = np.asarray(out["valid"])
     assert np.asarray(out["range_bin"])[v][0] == 290
     assert np.asarray(out["doppler_bin"])[v][0] == 0
+
+
+def test_surveillance_array_model(tmp_path):
+    """The surveillance runtime drives the batched array model: element-
+    space scan cubes in, tracks out (the tracker consumes range/Doppler;
+    beam_bin rides along in the detection outputs)."""
+    import dataclasses
+    from fmcw_tpu import CfarParams, RadarParams
+
+    p = RadarParams(n_range=256, n_doppler=64,
+                    cfar=CfarParams(ref_range=4, ref_doppler=3,
+                                    guard_range=2, guard_doppler=1,
+                                    scale_block=2))
+    cfg = sc.quick_scenario()
+    cfg.burst_synthesis = False
+    cfg.num_scans = 5
+    scen = sc.TacticalScenario(p, cfg)
+    frames = [pl.complex_to_iq(f)
+              for _, f, _ in scen.run_elements(n_elems=4)]
+    proc = pl.make_batch_array_processor(p, n_elems=4, n_beams=4,
+                                         peak_group_radius=2,
+                                         beam_group_radius=1,
+                                         include_maps=False)
+    det_log = str(tmp_path / "d.txt")
+    trk_log = str(tmp_path / "t.txt")
+    res = list(sv.run_surveillance(proc, frames, p, batch_scans=2,
+                                   det_log=det_log, trk_log=trk_log))
+    assert len(res) == 5
+    assert any(r.n_dets > 0 for r in res)
+    assert res[-1].active_tracks > 0
+    from fmcw_tpu.utils import viz
+    tracks, counts = viz.load_tracks(trk_log)
+    assert len(counts) == 5

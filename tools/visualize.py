@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--sharded", type=int, default=0, metavar="SP",
                     help="run the sp-sharded multi-chip pipeline")
     ap.add_argument("--mode", default="float32", choices=["float32", "fixed"])
+    ap.add_argument("--array", type=int, default=0, metavar="E",
+                    help="array-radar mode: E-element ULA scenario through "
+                         "the beamformed 3D pipeline (E beams); tracks gain "
+                         "an azimuth estimate from their detections' beams")
     ap.add_argument("--faithful", action="store_true",
                     help="reference-faithful burst target synthesis "
                          "(tb_tactical.vhd:252-266) instead of point targets")
@@ -84,7 +88,28 @@ def main():
     open(det_log, "w").close()
     open(trk_log, "w").close()
 
-    if args.sharded:
+    if args.array:
+        if args.iq_file or args.record or args.mode != "float32":
+            ap.error("--array is float32/synthetic-scenario only "
+                     "(no --iq-file/--record/--mode fixed)")
+        if args.sharded:
+            from fmcw_tpu.parallel import mesh as M, sharded as sh
+            mesh = M.make_mesh(dp=1, sp=args.sharded)
+            aproc = sh.make_sharded_array_processor(
+                mesh, p, n_elems=args.array, n_beams=args.array,
+                include_maps=True, peak_group_radius=2, beam_group_radius=1)
+            proc = lambda iq: jax.tree.map(
+                lambda x: np.asarray(x)[0], aproc(iq[None]))
+            print(f"array mesh: {args.array} beams over dp=1 "
+                  f"sp={args.sharded} on {jax.devices()[0].platform}")
+        else:
+            proc = pl.make_array_processor(p, n_elems=args.array,
+                                           n_beams=args.array,
+                                           peak_group_radius=2,
+                                           beam_group_radius=1)
+            print(f"array single chip ({args.array} elems -> "
+                  f"{args.array} beams): {jax.devices()[0]}")
+    elif args.sharded:
         from fmcw_tpu.parallel import mesh as M, sharded as sh
         mesh = M.make_mesh(dp=1, sp=args.sharded)
         sproc = sh.make_sharded_processor(mesh, p, mode=args.mode,
@@ -104,6 +129,11 @@ def main():
         frames_iter = ((scan, iq, ())
                        for scan, iq in enumerate(streamer.frames(), 1))
         cfg.num_scans = 0  # unknown until the file drains
+    elif args.array:
+        scen = sc.TacticalScenario(p, cfg)
+        frames_iter = ((scan, pl.complex_to_iq(frames), truth)
+                       for scan, frames, truth in
+                       scen.run_elements(args.array))
     else:
         scen = sc.TacticalScenario(p, cfg)
         frames_iter = ((scan, pl.complex_to_iq(frame), truth)
@@ -117,6 +147,8 @@ def main():
     # alpha-filtered position (which blends bins measured at different
     # PRFs across the stagger).
     raw_bins: dict[int, dict[int, float]] = {}
+    # Array mode: per-track associated detection beams (azimuth estimate).
+    track_beams: dict[int, list] = {}
     rec = open(args.record, "wb") if args.record else None
     for scan, iq, truth in frames_iter:
         n_scans = scan
@@ -126,6 +158,10 @@ def main():
         out = jax.tree.map(np.asarray, out)
         if "mag_map" in out:
             last_map = out["mag_map"]
+        elif "mag_cube" in out:
+            # Render the strongest beam's range-Doppler map.
+            b_star = int(np.argmax(out["mag_cube"].max(axis=(1, 2))))
+            last_map = out["mag_cube"][b_star]
         v = out["valid"]
         rio.write_detections(det_log, out["range_bin"][v],
                              out["doppler_bin"][v], out["mag"][v], append=True)
@@ -149,6 +185,9 @@ def main():
                 if (abs(det_r[j] - tr) <= p.tracker.assoc_gate_r
                         and abs(det_d[j] - td) <= p.tracker.assoc_gate_d):
                     raw_bins.setdefault(int(i), {})[prf_idx] = det_d[j]
+                    if args.array:
+                        track_beams.setdefault(int(i), []).append(
+                            int(out["beam_bin"][v][j]))
         rio.write_tracks(trk_log, [
             {"id": i, "range_pos": rep["range_pos"][i],
              "dopp_pos": rep["dopp_pos"][i], "range_vel": rep["range_vel"][i],
@@ -193,6 +232,19 @@ def main():
         print(f"track {tid:2d}: radial {v:+7.1f} m/s "
               f"({v * 1.94384:+7.1f} kts, stagger residual {res:.1f} m/s)"
               f"{flag}")
+
+    if args.array and track_beams:
+        # Beam index -> steering sine -> azimuth (the steering grid of
+        # ops/beamform.steering_matrix at the model's default 60-deg span).
+        u = np.linspace(-np.sin(np.deg2rad(60.0)),
+                        np.sin(np.deg2rad(60.0)), args.array)
+        print("track azimuth estimates (modal detection beam):")
+        for tid in sorted(track_beams):
+            beams = np.asarray(track_beams[tid])
+            b = int(np.bincount(beams, minlength=args.array).argmax())
+            az = float(np.degrees(np.arcsin(u[b])))
+            print(f"track {tid:2d}: beam {b} -> azimuth {az:+6.1f} deg "
+                  f"({len(beams)} scans)")
 
 
 if __name__ == "__main__":
