@@ -180,8 +180,18 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                    include_maps: bool = True,
                    include_debug: bool = False,
                    frontend: str = "auto",
-                   fuse_detect: bool = True) -> Callable:
+                   fuse_detect: bool = True,
+                   cfar_geometry: str = "named") -> Callable:
     """Build the jitted single-frame processor.
+
+    ``cfar_geometry``: "named" (framework default — ref_range/guard_range
+    govern the range axis, window wraps per axis) or "hw_stream" — the
+    opt-in hw-compat mode reproducing the reference's AS-BUILT streaming
+    CFAR (crossed-axis geometry, flat-stream Doppler window, startup skip,
+    and the -3-flat-cell detection label offset; ops/cfar.cfar_2d_hw_stream,
+    docs/design_notes.md §4).  hw_stream implies per-cell OS semantics, uses
+    the XLA CFAR formulation (the fused detect epilogue stays off), and
+    reports detections / det_map at the hardware's LABEL coordinates.
 
     Returned callable: ``fn(iq, mti_bypass=False, scale_override=0) -> dict``
     with iq int16[(n_doppler, n_range, 2)].  Output dict:
@@ -198,6 +208,19 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
     """
     p = params or RadarParams()
     max_dets = p.tracker.max_dets
+    if cfar_geometry not in ("named", "hw_stream"):
+        raise ValueError(f"cfar_geometry must be 'named' or 'hw_stream', "
+                         f"got {cfar_geometry!r}")
+    hw_cfar = cfar_geometry == "hw_stream"
+    if hw_cfar and (p.cfar.variant != "os" or p.cfar.scale_mode != "cell"):
+        raise ValueError(
+            "cfar_geometry='hw_stream' reproduces the as-built hardware "
+            "detector: per-cell OS variant only (os_cfar_2d.vhd has no "
+            "CA/GO/SO or block-scale counterpart)")
+    if hw_cfar and mode == "fixed" and frontend == "pallas":
+        raise ValueError("cfar_geometry='hw_stream' has no fused fixed "
+                         "kernel; use frontend='xla' (or 'auto') with "
+                         "mode='fixed'")
     if frontend == "auto":
         # Production default: the fused Pallas front-end on real TPUs when
         # the frame shape fits its slice layout and no non-default FFT
@@ -223,7 +246,8 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
     # In-kernel clutter-map scale: the fused front-end can emit the block
     # scale from its VMEM-resident mag slices when the block grid lines up
     # with its slice layout (scale_block == n_range/128, wrap edges).
-    kernel_scale = frontend == "pallas" and kernel_scale_supported(p)
+    kernel_scale = (frontend == "pallas" and kernel_scale_supported(p)
+                    and not hw_cfar)
     # Fully fused path: CFAR detection (and peak grouping) also runs inside
     # the front-end kernel (the mag map never leaves VMEM) and top-K
     # extraction consumes the kernel's sliced det layout directly.  Works
@@ -231,7 +255,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
     # reference-exact per-cell scale.  ``fuse_detect=False`` keeps the
     # standalone kernels (A/B benchmarking, debug taps).
     kernel_percell = frontend == "pallas" and kernel_percell_supported(p)
-    kernel_detect = (fuse_detect and frontend == "pallas"
+    kernel_detect = (fuse_detect and frontend == "pallas" and not hw_cfar
                      and fused_detect_supported(
                          p, mode, peak_group_radius, cfar_method,
                          include_debug))
@@ -280,10 +304,14 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                                      transient=mti_transient,
                                      precision=precision)
             mag = M.magnitude_float(re, im, exact=magnitude_exact)
-        det, threshold, scale = C.cfar_2d_auto(
-            mag, scale_override, cfar=p.cfar, integer=False,
-            method=cfar_method, rank_bits=cfar_rank_bits,
-            need_debug=include_debug, scale_map=scale_map)
+        if hw_cfar:
+            det, threshold, scale = C.cfar_2d_hw_stream(
+                mag, scale_override, cfar=p.cfar, integer=False)
+        else:
+            det, threshold, scale = C.cfar_2d_auto(
+                mag, scale_override, cfar=p.cfar, integer=False,
+                method=cfar_method, rank_bits=cfar_rank_bits,
+                need_debug=include_debug, scale_map=scale_map)
         nonfinite = jnp.sum(~jnp.isfinite(mag)).astype(jnp.int32)
         return mag, det, threshold, scale, jnp.int32(0), nonfinite
 
@@ -306,9 +334,13 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                              axis=1, method=fft_method, precision=precision)
         re, im = F.bfp_quantize(re, im, axis=1)
         mag = M.magnitude_fixed(re.astype(jnp.int32), im.astype(jnp.int32))
-        det, threshold, scale = C.cfar_2d_auto(
-            mag, scale_override, cfar=p.cfar, integer=True,
-            method=cfar_method, int_bits=16, need_debug=include_debug)
+        if hw_cfar:
+            det, threshold, scale = C.cfar_2d_hw_stream(
+                mag, scale_override, cfar=p.cfar, integer=True)
+        else:
+            det, threshold, scale = C.cfar_2d_auto(
+                mag, scale_override, cfar=p.cfar, integer=True,
+                method=cfar_method, int_bits=16, need_debug=include_debug)
         return mag, det, threshold, scale, (s1 + s2).astype(jnp.int32), jnp.int32(0)
 
     path = {"float32": float_path, "fixed": fixed_path}[mode]

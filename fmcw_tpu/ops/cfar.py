@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..params import CfarParams
-from ..golden.fixed_point import _window_offsets
+from ..golden.fixed_point import _window_offsets, _hw_stream_offsets, \
+    hw_stream_lag
 
 
 def _pad2d(m: jnp.ndarray, hr: int, hd: int, edge_mode: str,
@@ -368,6 +369,91 @@ def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     threshold = est * scale
     det = jnp.where(cut > threshold, cut, jnp.zeros_like(cut))
     return det, threshold, scale
+
+
+@functools.partial(jax.jit, static_argnames=("cfar", "integer", "streaming"))
+def cfar_2d_hw_stream(mag_map: jnp.ndarray,
+                      scale_override: jnp.ndarray | int = 0,
+                      cfar: CfarParams = CfarParams(),
+                      integer: bool = True,
+                      hist: jnp.ndarray | None = None,
+                      streaming: bool = False):
+    """As-built streaming-CFAR geometry — the opt-in hw-compat mode.
+
+    JAX mirror of golden.fixed_point.os_cfar_2d_hw_stream for ONE frame:
+    the crossed-axis window gathers over the flat range-major stream
+    (training offsets (d_row*D + d_stream), _hw_stream_offsets), cells
+    before the stream start read 0, the startup skip drops the first 3
+    cells, and detections land at the hardware's label coordinates
+    (label_flat = (true_flat - 3) mod frame_size).
+
+    Two framings:
+
+    * ``streaming=False`` (default): the frame is the whole stream — the
+      one-shot / first-frame hardware behavior.  The final ``lag`` cells are
+      never emitted (the hardware would emit them while the next frame
+      streams in).
+    * ``streaming=True`` with ``hist`` = the previous frame's last 2*lag
+      stream cells: the steady-state behavior — decides stream positions
+      [-lag, S-lag), i.e. the previous frame's tail (re-labeled into this
+      frame's label space, as the hardware's free-running counter does) plus
+      this frame's head.  Returns ``new_hist`` to carry.
+
+    Returns (det_labeled, threshold, scale[, new_hist]):
+
+    * det_labeled (R, D): zero-suppressed detections at LABEL coordinates —
+      feed directly to detect.topk_detections for hardware-labeled output;
+    * threshold / scale (R, D): debug taps in decision order (true cell
+      coordinates for ``streaming=False``).
+    """
+    if cfar.scale_mode != "cell":
+        raise ValueError("hw-compat streaming CFAR is per-cell by definition")
+    R, D = mag_map.shape
+    S = R * D
+    lag = hw_stream_lag(cfar, D)
+    flat = mag_map.reshape(-1)
+    if streaming:
+        if hist is None:
+            hist = jnp.zeros((2 * lag,), flat.dtype)
+        h = hist.reshape(-1).astype(flat.dtype)
+    else:
+        h = jnp.zeros((2 * lag,), flat.dtype)
+    ext = jnp.concatenate([h, flat, jnp.zeros((lag,), flat.dtype)])
+    base = -lag if streaming else 0
+    start0 = 2 * lag + base
+    offs = [dr * D + dc for dr, dc in _hw_stream_offsets(cfar)]
+    views = [jax.lax.dynamic_slice(ext, (start0 + o,), (S,)) for o in offs]
+    refs = jnp.stack(views, axis=-1)                    # (S, n_ref)
+    cut = jax.lax.dynamic_slice(ext, (start0,), (S,))
+    est = _order_statistic(refs, cfar.rank_idx)
+    sum_refs = jnp.sum(refs, axis=-1)
+    if integer:
+        mean = sum_refs // cfar.n_ref
+        hi = est > mean + (mean >> 1)
+        lo = est < (mean >> 1)
+    else:
+        mean = sum_refs / cfar.n_ref
+        hi = est > 1.5 * mean
+        lo = est < 0.5 * mean
+    scale = jnp.where(hi, cfar.scale_max,
+                      jnp.where(lo, cfar.scale_min, cfar.scale_nom))
+    so = jnp.asarray(scale_override)
+    scale = jnp.where(so != 0, so, scale).astype(flat.dtype)
+    threshold = est * scale
+    det = jnp.where(cut > threshold, cut, jnp.zeros_like(cut))
+    pos = jnp.arange(S) + base                          # stream positions
+    if streaming:
+        emitted = jnp.ones((S,), dtype=bool)            # steady state
+        shift = lag + 3
+    else:
+        emitted = (pos >= 3) & (pos < S - lag)
+        shift = 3
+    det = jnp.where(emitted, det, jnp.zeros_like(det))
+    det_labeled = jnp.roll(det, -shift).reshape(R, D)
+    out = (det_labeled, threshold.reshape(R, D), scale.reshape(R, D))
+    if streaming:
+        return out + (flat[-2 * lag:],)
+    return out
 
 
 def cfar_1d(x: jnp.ndarray, ref_cells: int = 8, guard_cells: int = 2,
