@@ -2,11 +2,14 @@
 reference's checked-in quick-run artifacts (ADR_quick_det.txt /
 ADR_quick_trk.txt, SURVEY.md §4 "golden regression data").
 
-The reference's artifact values (873 raw detections over the quick run,
-ACTIVE ramping 0 -> 7) are NOT directly comparable: most of its detections
-are close-in sea-clutter rings admitted by the crossed-axis CFAR geometry
-and burst smearing (SURVEY.md §2a), and its ACTIVE count starts late due to
-the 776-cell CFAR startup skip.  What this test pins instead:
+The reference's artifact values (873 raw detections, ACTIVE ramp) are not
+BIT-comparable — the old ADR core that wrote them ran inverse unscaled FFTs
+and the pre-fix CFAR (see docs/design_notes.md §4) — but they ARE now
+compared at cluster level under the faithful configuration:
+tests/test_reference_artifacts.py regenerates the exact stimulus (IEEE
+1076.2 RNG, golden/adr_quick.py), runs the hw-compat crossed-geometry CFAR,
+and pins the artifact's cluster centroids / track-ramp shape.  What this
+test pins instead, for the framework's OWN quick scenario semantics:
 
 * the exact (deterministic, seed=42, fixed-point) per-scan raw detection
   counts — a golden regression in the same spirit as data/radar_output.txt;
