@@ -60,11 +60,14 @@ def kernel_scale_supported(p: RadarParams) -> bool:
 
 def kernel_percell_supported(p: RadarParams) -> bool:
     """Can the fused front-end kernel run the reference-exact per-cell
-    adaptive-scale CFAR in its detect epilogue?"""
+    adaptive-scale CFAR in its detect epilogue?  Includes the n2 == 1
+    single-slice case (n_range == 128 — the QUICK_MODE map,
+    tb_tactical.vhd:28-40): window row offsets then address the +-8-row
+    sublane pad of the rotation scratch directly."""
     return (frontend_kernel_supported(p)
             and p.cfar.scale_mode == "cell"
-            and p.cfar.edge_mode == "wrap" and p.n_range > 128
-            and p.cfar.halo_range <= 8 * (p.n_range // 128))
+            and p.cfar.edge_mode == "wrap"
+            and p.cfar.halo_range <= 8 * max(p.n_range // 128, 1))
 
 
 def _fused_geometry_ok(p: RadarParams, peak_group_radius: int,

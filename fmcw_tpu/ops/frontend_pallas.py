@@ -281,7 +281,8 @@ def _peak_group_epilogue(dets, det_ref, rot_ref, *, n2: int, radius: int):
 
 
 def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
-                     peak_radius: int = 0, integer: bool = False):
+                     peak_radius: int = 0, integer: bool = False,
+                     percell_onepass: bool = False):
     """CFAR detection pass fused into the front-end kernel: the exact
     counting formulation of ops/cfar_pallas._kernel_detect_scaled (float
     mode, q_min probing), evaluated on the in-VMEM mag slices so the
@@ -421,6 +422,60 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
                 det_ref[k2] = det
             continue
 
+        if scale is None and percell_onepass:
+            # MERGED one-pass per-cell variant (A/B alternative to the
+            # two-pass form below — see docs/PERF_LOG.md): the hi/lo
+            # classification compares and the detection counting share ONE
+            # loop over the rotated planes (one load per reference cell
+            # instead of two), at the cost of counting the detection
+            # decision against all three scale candidates (5 compares+adds
+            # per ref vs the split form's 3).  A non-zero scale_override
+            # folds into the three candidates (all equal), so the
+            # hi/lo-based pick is then trivially correct.
+            gr, gd = cfar.guard_range, cfar.guard_doppler
+            sum_refs = box(-hr, hr, -hd, hd) - box(-gr, gr, -gd, gd)
+            mean = fdiv(sum_refs, cfar.n_ref)
+            if integer:
+                halfm = jnp.floor(mean * 0.5)
+                t_hi = mean + halfm
+                t_lo = halfm
+            else:
+                t_hi = 1.5 * mean
+                t_lo = 0.5 * mean
+
+            def qmin(sc_scalar):
+                sf = sc_scalar.astype(jnp.float32)
+                if integer:
+                    return jnp.floor((cut - 1.0) / sf) + 1.0
+                ti = pltpu.bitcast(cut / sf, jnp.int32)
+                qq = pltpu.bitcast(ti + 1, jnp.float32)
+                for delta in (0, -1, -2):
+                    c = pltpu.bitcast(ti + delta, jnp.float32)
+                    qq = jnp.where(c * sf >= cut, c, qq)
+                return qq
+
+            q_lo = qmin(jnp.where(so != 0, so, cfar.scale_min))
+            q_nom = qmin(jnp.where(so != 0, so, cfar.scale_nom))
+            q_hi = qmin(jnp.where(so != 0, so, cfar.scale_max))
+            z = jnp.zeros((n1, nd), jnp.int32)
+            c_hi, c_lo, n_lo, n_nom, n_hi = z, z, z, z, z
+            for dr, dd in offsets:
+                v = ref(dr, dd)
+                c_hi = c_hi + (v > t_hi).astype(jnp.int32)
+                c_lo = c_lo + (v >= t_lo).astype(jnp.int32)
+                n_lo = n_lo + (v >= q_lo).astype(jnp.int32)
+                n_nom = n_nom + (v >= q_nom).astype(jnp.int32)
+                n_hi = n_hi + (v >= q_hi).astype(jnp.int32)
+            cnt = jnp.where(c_hi >= k, n_hi,
+                            jnp.where(c_lo < k, n_lo, n_nom))
+            det = (cnt < k) & (cut > 0.0)
+            det = jnp.where(det, cut, jnp.zeros_like(cut))
+            if peak_radius > 0:
+                dets.append(det)
+            else:
+                det_ref[k2] = det
+            continue
+
         if scale is None:
             # Per-cell adaptive scale (os_cfar_2d.vhd:187-199): mean pass A
             # + hi/lo classification pass B of _kernel_detect.  The mean
@@ -481,7 +536,7 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
             n1: int, n2: int, c2r, c2i, exact_mag: bool, cfar=None,
             detect: bool = False, emit_mag: bool = True,
             peak_radius: int = 0, emit_topk: bool = True,
-            outer: str = "direct"):
+            outer: str = "direct", percell_onepass: bool = False):
     rest = list(rest)
     if detect:
         # Ref order: so (SMEM input) | det, [mag], stats, [rmax] (outputs) |
@@ -565,7 +620,8 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
         scale = (_block_scale(mags, n2=n2, cfar=cfar)
                  if cfar.scale_mode == "block" else None)
         _detect_epilogue(mags, scale, so_ref[0], det_ref, rot_ref,
-                         n2=n2, cfar=cfar, peak_radius=peak_radius)
+                         n2=n2, cfar=cfar, peak_radius=peak_radius,
+                         percell_onepass=percell_onepass)
         nf = jnp.zeros((), jnp.int32)
         for m in mags:
             nf = nf + jnp.sum((~jnp.isfinite(m)).astype(jnp.int32))
@@ -878,14 +934,16 @@ def rdm_frontend_fixed(iq: jnp.ndarray, mti_bypass=False,
     jax.jit,
     static_argnames=("notch_mode", "transient", "coef_width", "exact_mag",
                      "interpret", "cfar", "detect", "emit_mag",
-                     "peak_group_radius", "emit_topk", "outer"))
+                     "peak_group_radius", "emit_topk", "outer",
+                     "percell_onepass"))
 def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
                  transient: str = "zero", coef_width: int = 16,
                  exact_mag: bool = False,
                  interpret: bool = False, cfar=None,
                  detect: bool = False, scale_override=0,
                  emit_mag: bool = True, peak_group_radius: int = 0,
-                 emit_topk: bool = True, outer: str = "direct"):
+                 emit_topk: bool = True, outer: str = "direct",
+                 percell_onepass: bool = False):
     """Fused front-end for one frame: iq (nd, nr, 2) -> magnitude
     f32 (nr, nd), nr a multiple-of-128 with nr/128 <= 16 (or nr <= 128).
     ``iq`` is int16 for the radar ingest path, or float32 for upstream
@@ -993,7 +1051,8 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
                           exact_mag=exact_mag, cfar=cfar, detect=detect,
                           emit_mag=emit_mag,
                           peak_radius=peak_group_radius,
-                          emit_topk=emit_topk, outer=outer),
+                          emit_topk=emit_topk, outer=outer,
+                          percell_onepass=percell_onepass),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

@@ -16,6 +16,8 @@ ties the pieces together for a long-running air picture:
 from __future__ import annotations
 
 import dataclasses
+import threading
+import time
 from typing import Callable, Iterable, Iterator
 
 import numpy as np
@@ -39,6 +41,39 @@ def _to_host(a) -> np.ndarray:
     return np.asarray(a)
 
 
+class SurveillanceStallError(RuntimeError):
+    """A frame-batch dispatch (or its device->host readback) exceeded the
+    watchdog timeout — the runtime analog of the reference testbenches'
+    cycle-count watchdog processes (tb_radar_core.vhd:136-146), which abort
+    a hung simulation instead of blocking forever."""
+
+
+def _with_watchdog(fn: Callable, timeout: float | None, what: str):
+    """Run ``fn`` under a wall-clock watchdog.  On timeout the stalled call
+    keeps running on a daemon thread (a hung device call cannot be
+    cancelled), but the runtime surfaces SurveillanceStallError immediately
+    so the caller can fail over / restart instead of hanging."""
+    if not timeout:
+        return fn()
+    box: dict = {}
+
+    def run():
+        try:
+            box["value"] = fn()
+        except BaseException as e:  # surfaced in the caller's thread
+            box["error"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        raise SurveillanceStallError(
+            f"{what} exceeded the {timeout:.3g}s watchdog timeout")
+    if "error" in box:
+        raise box["error"]
+    return box["value"]
+
+
 @dataclasses.dataclass
 class ScanResult:
     scan: int
@@ -54,13 +89,29 @@ def run_surveillance(proc: Callable, frames: Iterable[np.ndarray],
                      det_log: str | None = None, trk_log: str | None = None,
                      mti_bypass: bool = False, scale_override: int = 0,
                      tracker_state: dict | None = None,
-                     start_scan: int = 0) -> Iterator[ScanResult]:
+                     start_scan: int = 0,
+                     watchdog_timeout: float | None = None,
+                     health: Callable[[str], None] | None = None
+                     ) -> Iterator[ScanResult]:
     """Drive ``proc`` (a make_batch_processor / make_sharded_processor
     callable) over ``frames``, batching ``batch_scans`` CPIs per dispatch and
     stepping the TWS tracker once per scan.  Yields a ScanResult per scan.
 
     ``tracker_state``/``start_scan`` allow resuming from a checkpoint
     (utils/checkpoint.py).
+
+    ``watchdog_timeout``: wall-clock seconds a single frame-batch dispatch
+    (including its device->host readback — where tunnel/device stalls
+    surface) may take before the runtime raises SurveillanceStallError
+    instead of blocking forever — the TB watchdog analog
+    (tb_radar_core.vhd:136-146).  None disables it.  First-dispatch
+    compilation counts toward the budget; size it to cover compile time or
+    warm the processor first.
+
+    ``health``: optional callback receiving one status line per batch
+    (scan counter, detections, active tracks, batch wall time and scan
+    rate) — the runtime's live observability tap, mirroring the reference
+    TBs' periodic ``report`` progress lines (tb_tactical.vhd:239-244).
     """
     if batch_scans < 1:
         raise ValueError(f"batch_scans must be >= 1, got {batch_scans}")
@@ -86,8 +137,16 @@ def run_surveillance(proc: Callable, frames: Iterable[np.ndarray],
         if n_valid < batch_scans:
             buf = buf + [np.zeros_like(buf[0])] * (batch_scans - n_valid)
         batch = np.stack(buf)
-        out = proc(batch, mti_bypass=mti_bypass, scale_override=scale_override)
-        out = jax.tree.map(_to_host, out)
+        t0 = time.perf_counter()
+
+        def dispatch():
+            o = proc(batch, mti_bypass=mti_bypass,
+                     scale_override=scale_override)
+            return jax.tree.map(_to_host, o)
+
+        out = _with_watchdog(dispatch, watchdog_timeout,
+                             f"frame batch ending at scan {scan + n_valid}")
+        batch_dt = time.perf_counter() - t0
         # All of the batch's scans advance the tracker in one on-device
         # lax.scan dispatch (models/tracker.run_scans), then reports stream
         # out per scan.  (A final partial batch runs a shorter scan loop —
@@ -102,6 +161,13 @@ def run_surveillance(proc: Callable, frames: Iterable[np.ndarray],
             tp=tp, state=state_dev)
         reps = jax.tree.map(np.asarray, reps)
         state = {k: np.asarray(v) for k, v in final.items()}
+        if health is not None:
+            n_dets_batch = int(out["valid"][:n_valid].sum())
+            act = int(reps["active_tracks"][n_valid - 1])
+            health(f"HEALTH scans={scan + 1}-{scan + n_valid} "
+                   f"dets={n_dets_batch} active={act} "
+                   f"batch_s={batch_dt:.3f} "
+                   f"scan_rate={n_valid / max(batch_dt, 1e-9):.1f}/s")
         for i in range(n_valid):
             scan += 1
             v = out["valid"][i]

@@ -426,3 +426,87 @@ def test_fused_detect_random_config_fuzz():
         b = np.asarray(out_u["det_map"])
         assert np.array_equal(a, b), tag
         assert np.asarray(out_f["n_dets"]) == np.asarray(out_u["n_dets"]), tag
+
+
+# ---------------------------------------------------------------------------
+# QUICK_MODE (n2 == 1, 128x32) fused detect — tb_tactical.vhd:28-40 treats
+# the quick map as a first-class config, so the fused production path must
+# cover it (VERDICT r2 #4).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["float32", "fixed"])
+def test_quick_n2_1_fused_detect_bitexact_vs_standalone(mode):
+    """At n_range=128 the detect epilogue's window row offsets address the
+    rotation scratch's sublane pad directly ((k2+dr)//n2 == dr); the fused
+    decision must equal the standalone CFAR run on the kernel's own mag."""
+    from fmcw_tpu.ops import cfar as C
+    from fmcw_tpu.ops.frontend_pallas import rdm_frontend, rdm_frontend_fixed
+    p = Q
+    iq = pl.complex_to_iq(reference.two_target_frame(p, seed=3))
+    if mode == "fixed":
+        det_s, mag, _, rmax, nd_ = rdm_frontend_fixed(
+            iq, False, 0, interpret=True, cfar=p.cfar)
+        integer = True
+    else:
+        det_s, mag, _, rmax, nd_ = rdm_frontend(
+            iq, False, interpret=True, cfar=p.cfar, detect=True,
+            scale_override=0)
+        integer = False
+    det_map = np.swapaxes(np.asarray(det_s), 0, 1).reshape(128, 32)
+    m = np.asarray(mag)
+    det_ref, _, _ = C.cfar_2d(m.astype(np.int32) if integer else m, 0,
+                              cfar=p.cfar, integer=integer)
+    assert np.array_equal(det_map.astype(np.float64),
+                          np.asarray(det_ref).astype(np.float64))
+    assert int(nd_) == int(np.sum(np.asarray(det_ref) > 0))
+    # row maxes (n2=1: sliced row ids == map rows)
+    assert np.array_equal(np.asarray(rmax),
+                          det_map.max(axis=1).astype(np.float32))
+
+
+def test_quick_preset_gates_open_for_fused_path():
+    assert pl.kernel_percell_supported(Q)
+    assert pl.fused_detect_supported(Q)
+    assert pl.fused_fixed_detect_supported(Q)
+
+
+@pytest.mark.parametrize("mode", ["float32", "fixed"])
+def test_quick_pipeline_fused_matches_xla_chain(mode):
+    """End-to-end quick-preset parity: forced-pallas (fused) pipeline vs the
+    XLA chain — detection-SET equality (the fused kernel's contract)."""
+    p = Q
+    iq = pl.complex_to_iq(reference.two_target_frame(p, seed=3))
+    proc_k = pl.make_processor(p, mode=mode, frontend="pallas",
+                               include_maps=False)
+    proc_x = pl.make_processor(p, mode=mode, frontend="xla",
+                               cfar_method="xla" if mode == "float32"
+                               else "auto", include_maps=False)
+
+    def dset(o):
+        v = np.asarray(o["valid"])
+        return set(zip(np.asarray(o["range_bin"])[v].tolist(),
+                       np.asarray(o["doppler_bin"])[v].tolist()))
+
+    ok, ox = proc_k(iq), proc_x(iq)
+    assert dset(ok) == dset(ox)
+    assert len(dset(ok)) > 5
+    with_pg = pl.make_processor(p, mode=mode, frontend="pallas",
+                                include_maps=False, peak_group_radius=1)
+    assert len(dset(with_pg(iq))) <= len(dset(ok))
+
+
+@pytest.mark.parametrize("so", [0, 3])
+def test_percell_onepass_bitequal_twopass(so):
+    """The merged one-pass per-cell epilogue (the measured-slower A/B
+    alternative kept for the PERF_LOG floor evidence, docs/PERF_LOG.md)
+    decides bit-identically to the shipping two-pass form."""
+    from fmcw_tpu.ops.frontend_pallas import rdm_frontend
+    for p in (RadarParams(), Q):
+        iq = pl.complex_to_iq(reference.two_target_frame(p, seed=4))
+        a = rdm_frontend(iq, False, interpret=True, cfar=p.cfar, detect=True,
+                         scale_override=so, emit_mag=False)
+        b = rdm_frontend(iq, False, interpret=True, cfar=p.cfar, detect=True,
+                         scale_override=so, emit_mag=False,
+                         percell_onepass=True)
+        assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        assert int(a[4]) == int(b[4])

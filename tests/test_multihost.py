@@ -59,6 +59,10 @@ def test_two_process_mesh_matches_single_device(tmp_path):
     for i, (pr, out) in enumerate(zip(procs, outs)):
         assert pr.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"MULTIHOST OK p{i}/2" in out, out
+        # Beam-sharded array regime ran (angle-halo ring across processes)
+        # and checked a nonempty detection set.
+        m = re.search(r"array-sp8:(\d+)dets", out)
+        assert m and int(m.group(1)) > 0, out
         # Surveillance step ran and both hosts wrote identical logs (same
         # gathered detections -> same tracker trajectory).
         m = re.search(r"loghash=([0-9a-f]+)", out)

@@ -107,3 +107,51 @@ def test_surveillance_array_model(tmp_path):
     from fmcw_tpu.utils import viz
     tracks, counts = viz.load_tracks(trk_log)
     assert len(counts) == 5
+
+
+def test_surveillance_watchdog_surfaces_stall():
+    """A hung proc raises SurveillanceStallError promptly instead of
+    blocking forever — the TB-watchdog analog (tb_radar_core.vhd:136-146)."""
+    import time
+
+    def hung_proc(batch, mti_bypass=False, scale_override=0):
+        time.sleep(30.0)
+        raise AssertionError("unreachable")
+
+    t0 = time.perf_counter()
+    with pytest.raises(sv.SurveillanceStallError):
+        list(sv.run_surveillance(hung_proc, _frames(2), Q, batch_scans=2,
+                                 watchdog_timeout=0.3))
+    assert time.perf_counter() - t0 < 5.0
+
+
+def test_surveillance_watchdog_passes_and_propagates_errors():
+    proc = pl.make_batch_processor(Q, mode="float32", include_maps=False)
+    # generous timeout: normal run unaffected, results identical
+    frames = _frames(3)
+    res_w = list(sv.run_surveillance(proc, frames, Q, batch_scans=3,
+                                     watchdog_timeout=300.0))
+    res = list(sv.run_surveillance(proc, frames, Q, batch_scans=3))
+    assert [(r.scan, r.n_dets) for r in res_w] == \
+        [(r.scan, r.n_dets) for r in res]
+
+    # a proc that raises: the error propagates (not swallowed by the thread)
+    def bad_proc(batch, mti_bypass=False, scale_override=0):
+        raise RuntimeError("device exploded")
+
+    with pytest.raises(RuntimeError, match="device exploded"):
+        list(sv.run_surveillance(bad_proc, frames, Q, batch_scans=3,
+                                 watchdog_timeout=10.0))
+
+
+def test_surveillance_health_lines():
+    proc = pl.make_batch_processor(Q, mode="float32", include_maps=False)
+    lines = []
+    res = list(sv.run_surveillance(proc, _frames(5), Q, batch_scans=2,
+                                   health=lines.append))
+    assert len(res) == 5
+    assert len(lines) == 3          # 2 + 2 + 1 scans -> 3 batches
+    assert lines[0].startswith("HEALTH scans=1-2 ")
+    assert lines[-1].startswith("HEALTH scans=5-5 ")
+    for ln in lines:
+        assert "dets=" in ln and "active=" in ln and "scan_rate=" in ln

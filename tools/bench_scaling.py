@@ -10,12 +10,23 @@ Usage:
   python tools/bench_scaling.py [--cpu N] [--batch B] [--mode float32|fixed]
                                 [--iters K] [--quick]
 
-On a multi-host pod slice, launch one process per host with
-JAX_COORDINATOR_ADDRESS/JAX_PROCESS_ID etc. set; jax.distributed is
-initialized automatically and the mesh spans all hosts (collectives ride ICI
-within a slice, DCN across hosts).  On this single-chip dev box, --cpu 8
-demonstrates the methodology on the virtual CPU mesh (compute-bound numbers
-are not representative; the sharding/collective structure is identical).
+Emits one JSON line of per-mesh results plus a ``northstar`` record:
+pass/fail against the >= 90% weak-scaling-efficiency target (BASELINE.json
+north star) evaluated on the largest dp mesh measured.
+
+On a multi-host pod slice the run is turnkey — one command per host:
+
+    # host i of H (per-host chips autodetected; e.g. v5e-16 = 4 hosts x 4):
+    JAX_COORDINATOR_ADDRESS=host0:8476 JAX_NUM_PROCESSES=$H \
+    JAX_PROCESS_ID=$i python tools/bench_scaling.py --batch 64
+
+``parallel/mesh.maybe_init_distributed`` reads those env vars (or the TPU
+pod metadata on Cloud TPU VMs, where plain ``python tools/bench_scaling.py``
+suffices) and the mesh spans all hosts: collectives ride ICI within a
+slice, DCN across hosts.  On this single-chip dev box, --cpu 8 demonstrates
+the methodology on the virtual CPU mesh (compute-bound numbers are not
+representative; the sharding/collective structure is identical — the
+northstar gate is only meaningful on real multi-chip hardware).
 """
 
 import argparse
@@ -96,8 +107,21 @@ def main():
     base_fps = results[0]["fps"]
     for r in results:
         r["weak_scaling_eff"] = round(r["fps"] / (r["chips"] * base_fps), 3)
-    print(json.dumps(results))
+    dp_results = [r for r in results if r["config"].startswith("dp=")]
+    biggest = dp_results[-1]
+    northstar = {
+        "target_eff": 0.90,
+        "measured_eff": biggest["weak_scaling_eff"],
+        "at": biggest["config"],
+        "hardware": jax.devices()[0].device_kind,
+        "meaningful": jax.default_backend() == "tpu" and n_dev > 1,
+        "pass": biggest["weak_scaling_eff"] >= 0.90,
+    }
+    print(json.dumps({"results": results, "northstar": northstar}))
+    if northstar["meaningful"] and not northstar["pass"]:
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--variants", default="os,ca,go,so")
     ap.add_argument("--scale-mode", default="cell", choices=["cell", "block"])
     ap.add_argument("--json", default=None, metavar="OUT")
+    ap.add_argument("--artifact", default=None, metavar="OUT",
+                    help="write the canonical pinned eval artifact "
+                         "(EVAL.json): 256x64 map, seed 0, both scale "
+                         "modes, all variants — the committed detector-"
+                         "quality regression baseline "
+                         "(tests/test_eval_bounds.py diffs against it)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -34,6 +40,33 @@ def main():
 
     from fmcw_tpu import RadarParams, CfarParams
     from fmcw_tpu.utils import eval as ev
+
+    if args.artifact:
+        spec = dict(n_range=256, n_doppler=64, trials=64, noise_trials=32,
+                    seed=0, sigma=64.0, tolerance=1, mti_bypass=True,
+                    snr_dbs=[-35, -30, -27, -24, -21, -18])
+        art = {"spec": spec, "results": {}}
+        for mode in ("cell", "block"):
+            cfar = CfarParams(scale_mode=mode, scale_block=2)
+            p = RadarParams(n_range=spec["n_range"],
+                            n_doppler=spec["n_doppler"], cfar=cfar)
+            res = ev.pd_pfa(p, variants=("os", "ca", "go", "so"),
+                            trials=spec["trials"],
+                            noise_trials=spec["noise_trials"],
+                            seed=spec["seed"], sigma=spec["sigma"],
+                            tolerance=spec["tolerance"],
+                            snr_dbs=tuple(spec["snr_dbs"]))
+            art["results"][mode] = {
+                v: {"pfa": r["pfa"],
+                    "pd": {str(k): pd for k, pd in r["pd"].items()}}
+                for v, r in res.items()}
+            print(f"--- scale_mode={mode} ---")
+            print(ev.format_table(res))
+        with open(args.artifact, "w") as f:
+            json.dump(art, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {args.artifact}", file=sys.stderr)
+        return
 
     cfar = CfarParams(scale_mode=args.scale_mode,
                       scale_block=8 if args.full else 2)
