@@ -22,6 +22,7 @@ config lives in RadarParams (the generics).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -277,7 +278,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
             "(fused_fixed_detect_supported), peak_group_radius <= 8, no "
             "debug taps, and cfar_method in ('auto', 'pallas')")
 
-    def float_path(iq, mti_bypass, scale_override):
+    def float_path(iq, mti_bypass, scale_override, cfar_fn=None):
         scale_map = None
         if frontend == "pallas":
             # Whole front-end (range FFT + fused slow-time operator +
@@ -307,7 +308,9 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                                      transient=mti_transient,
                                      precision=precision)
             mag = M.magnitude_float(re, im, exact=magnitude_exact)
-        if hw_cfar:
+        if cfar_fn is not None:
+            det, threshold, scale = cfar_fn(mag)
+        elif hw_cfar:
             det, threshold, scale = C.cfar_2d_hw_stream(
                 mag, scale_override, cfar=p.cfar, integer=False)
         else:
@@ -318,7 +321,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         nonfinite = jnp.sum(~jnp.isfinite(mag)).astype(jnp.int32)
         return mag, det, threshold, scale, jnp.int32(0), nonfinite
 
-    def fixed_path(iq, mti_bypass, scale_override):
+    def fixed_path(iq, mti_bypass, scale_override, cfar_fn=None):
         i_v = iq[..., 0].astype(jnp.int32)
         q_v = iq[..., 1].astype(jnp.int32)
         cr = W.hamming_q15(p.n_range, p.coef_width)
@@ -337,7 +340,9 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                              axis=1, method=fft_method, precision=precision)
         re, im = F.bfp_quantize(re, im, axis=1)
         mag = M.magnitude_fixed(re.astype(jnp.int32), im.astype(jnp.int32))
-        if hw_cfar:
+        if cfar_fn is not None:
+            det, threshold, scale = cfar_fn(mag)
+        elif hw_cfar:
             det, threshold, scale = C.cfar_2d_hw_stream(
                 mag, scale_override, cfar=p.cfar, integer=True)
         else:
@@ -383,6 +388,56 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         # be hashed as static constants and recompile per value).
         return _process(iq, jnp.asarray(mti_bypass, dtype=jnp.bool_),
                         jnp.asarray(scale_override, dtype=jnp.int32))
+
+    if hw_cfar:
+        from ..golden.fixed_point import hw_stream_lag
+        hlen = 2 * hw_stream_lag(p.cfar, p.n_doppler)
+        hdtype = jnp.int32 if mode == "fixed" else jnp.float32
+
+        @functools.partial(jax.jit, static_argnames=("first",))
+        def _process_stream(iq, mti_bypass, scale_override, hist,
+                            first=False):
+            def cfar_fn(mag):
+                d, t, s, new_hist = C.cfar_2d_hw_stream(
+                    mag, scale_override, cfar=p.cfar,
+                    integer=(mode == "fixed"), hist=hist,
+                    streaming=True, first=first)
+                cfar_fn.new_hist = new_hist
+                return d, t, s
+
+            mag, det, threshold, scale, sat, nonfinite = path(
+                iq, mti_bypass, scale_override, cfar_fn)
+            if peak_group_radius > 0:
+                det = C.peak_group(det, radius=peak_group_radius)
+            out = DET.topk_detections(det, max_dets=max_dets)
+            out["saturation_count"] = sat
+            out["nonfinite_count"] = nonfinite
+            if include_maps:
+                out["mag_map"] = mag
+                out["det_map"] = det
+            return out, cfar_fn.new_hist
+
+        def process_stream(iq, mti_bypass=False, scale_override=0,
+                           hist=None):
+            """Continuous-stream hw-compat call: the steady-state hardware
+            behavior across CPIs.  ``hist`` is the previous call's returned
+            carry (None = this is the stream's first frame: zero line
+            buffer + startup skip).  Returns (out, hist) where out covers
+            the hardware's output batch for this frame's input window —
+            the previous frame's tail cells (re-labeled, as the hardware's
+            free-running counter does) plus this frame's head.  Driving
+            every frame of a run through this matches
+            golden.fixed_point.os_cfar_2d_hw_stream on the concatenated
+            stream exactly (tests/test_hw_compat.py)."""
+            first = hist is None
+            if first:
+                hist = jnp.zeros((hlen,), hdtype)
+            return _process_stream(
+                iq, jnp.asarray(mti_bypass, dtype=jnp.bool_),
+                jnp.asarray(scale_override, dtype=jnp.int32),
+                jnp.asarray(hist, dtype=hdtype), first=first)
+
+        process.stream = process_stream
 
     process.jitted = _process
     return process

@@ -371,13 +371,15 @@ def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     return det, threshold, scale
 
 
-@functools.partial(jax.jit, static_argnames=("cfar", "integer", "streaming"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfar", "integer", "streaming", "first"))
 def cfar_2d_hw_stream(mag_map: jnp.ndarray,
                       scale_override: jnp.ndarray | int = 0,
                       cfar: CfarParams = CfarParams(),
                       integer: bool = True,
                       hist: jnp.ndarray | None = None,
-                      streaming: bool = False):
+                      streaming: bool = False,
+                      first: bool = False):
     """As-built streaming-CFAR geometry — the opt-in hw-compat mode.
 
     JAX mirror of golden.fixed_point.os_cfar_2d_hw_stream for ONE frame:
@@ -443,7 +445,11 @@ def cfar_2d_hw_stream(mag_map: jnp.ndarray,
     det = jnp.where(cut > threshold, cut, jnp.zeros_like(cut))
     pos = jnp.arange(S) + base                          # stream positions
     if streaming:
-        emitted = jnp.ones((S,), dtype=bool)            # steady state
+        # steady state: every position emits.  ``first=True`` = the stream's
+        # first frame: the startup skip suppresses positions < 3 (positions
+        # < 0 compute on the zero hist and can never detect, but cells 0-2
+        # have mostly-zero training sets and WOULD spuriously pass).
+        emitted = (pos >= 3) if first else jnp.ones((S,), dtype=bool)
         shift = lag + 3
     else:
         emitted = (pos >= 3) & (pos < S - lag)

@@ -342,3 +342,52 @@ def test_pipeline_hw_compat_rejects_bad_config():
     with pytest.raises(ValueError):
         pl.make_processor(p, cfar_geometry="hw_stream", mode="fixed",
                           frontend="pallas")
+
+
+def test_pipeline_hw_stream_continuous_matches_golden():
+    """The stateful process.stream hw-compat entry point, driven over 3
+    consecutive CPIs, reproduces the golden multi-frame streaming model
+    (steady-state inter-frame bleed + label re-wrap + startup skip)
+    exactly."""
+    from fmcw_tpu import params as P
+    from fmcw_tpu.models import pipeline as pl
+    from fmcw_tpu.golden import reference as ref
+    p = P.quick()
+    frames = [ref.two_target_frame(p, seed=s) for s in (11, 12, 13)]
+    proc = pl.make_processor(p, mode="fixed", frontend="xla",
+                             cfar_geometry="hw_stream",
+                             window_rounding="biased",
+                             mti_transient="passthrough",
+                             include_maps=False)
+    got = []
+    hist = None
+    for f in frames:
+        out, hist = proc.stream(pl.complex_to_iq(f), hist=hist)
+        v = np.asarray(out["valid"])
+        got += list(zip(np.asarray(out["range_bin"])[v].tolist(),
+                        np.asarray(out["doppler_bin"])[v].tolist(),
+                        np.asarray(out["mag"])[v].tolist()))
+        assert int(out["n_dets"]) == int(v.sum())
+
+    # Golden comparison over the pipeline's OWN mag maps (the XLA fixed
+    # chain's FFT quantization sits within 1 LSB of the golden chain's, so
+    # using its maps makes the streaming-logic comparison exact).
+    mproc = pl.make_processor(p, mode="fixed", frontend="xla",
+                              window_rounding="biased",
+                              mti_transient="passthrough",
+                              include_maps=True)
+    mags = np.stack([np.asarray(mproc(pl.complex_to_iq(f))["mag_map"])
+                     for f in frames])
+    lr, ld, lm = fx.os_cfar_2d_hw_stream(mags, p.cfar)
+    want_all = sorted(zip(lr.tolist(), ld.tolist(), lm.tolist()))
+    # The stream ends mid-frame: the final frame's tail cells (never
+    # emitted until a 4th frame arrives) are exactly the golden dets the
+    # stateful calls haven't produced yet.
+    lag = fx.hw_stream_lag(p.cfar, p.n_doppler)
+    S = p.n_range * p.n_doppler
+    dbg = fx.os_cfar_2d_hw_stream(mags, p.cfar, return_debug=True)
+    emitted_by_call3 = dbg["cells"][dbg["det"]] < 3 * S - lag
+    want_now = sorted(
+        (int(a), int(b), int(c)) for a, b, c, keep in
+        zip(lr, ld, lm, emitted_by_call3) if keep)
+    assert sorted(got) == want_now
