@@ -372,14 +372,16 @@ def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfar", "integer", "streaming", "first"))
+                   static_argnames=("cfar", "integer", "streaming", "first",
+                                    "need_debug"))
 def cfar_2d_hw_stream(mag_map: jnp.ndarray,
                       scale_override: jnp.ndarray | int = 0,
                       cfar: CfarParams = CfarParams(),
                       integer: bool = True,
                       hist: jnp.ndarray | None = None,
                       streaming: bool = False,
-                      first: bool = False):
+                      first: bool = False,
+                      need_debug: bool = True):
     """As-built streaming-CFAR geometry — the opt-in hw-compat mode.
 
     JAX mirror of golden.fixed_point.os_cfar_2d_hw_stream for ONE frame:
@@ -424,25 +426,76 @@ def cfar_2d_hw_stream(mag_map: jnp.ndarray,
     base = -lag if streaming else 0
     start0 = 2 * lag + base
     offs = [dr * D + dc for dr, dc in _hw_stream_offsets(cfar)]
-    views = [jax.lax.dynamic_slice(ext, (start0 + o,), (S,)) for o in offs]
-    refs = jnp.stack(views, axis=-1)                    # (S, n_ref)
+
+    def view(o):
+        return jax.lax.dynamic_slice(ext, (start0 + o,), (S,))
+
     cut = jax.lax.dynamic_slice(ext, (start0,), (S,))
-    est = _order_statistic(refs, cfar.rank_idx)
-    sum_refs = jnp.sum(refs, axis=-1)
+    so = jnp.asarray(scale_override)
+    k = cfar.n_ref - cfar.rank_idx
+
+    # Decision by COUNTING (the Pallas kernels' formulation): est < q
+    # <=> #{refs >= q} < k, est > t <=> #{refs > t} >= k.  This never
+    # materializes the (S, n_ref) rank stack — each shifted view fuses into
+    # its comparisons — which is what lets the full-size op compile on TPU
+    # (the top_k stack at 1024x128 is a 16.8M x 128 sort workload the
+    # backend refuses).  The sum pass feeds the adaptive-scale mean.
+    sum_refs = None
+    for o in offs:
+        v = view(o)
+        sum_refs = v if sum_refs is None else sum_refs + v
     if integer:
         mean = sum_refs // cfar.n_ref
-        hi = est > mean + (mean >> 1)
-        lo = est < (mean >> 1)
+        t_hi = mean + (mean >> 1)
+        t_lo = mean >> 1
+
+        def qmin(s):
+            s = jnp.asarray(s, cut.dtype)
+            return (cut + s - 1) // jnp.maximum(s, 1)    # ceil(cut/scale)
     else:
         mean = sum_refs / cfar.n_ref
-        hi = est > 1.5 * mean
-        lo = est < 0.5 * mean
+        t_hi = jnp.asarray(1.5 * mean, cut.dtype)
+        t_lo = jnp.asarray(0.5 * mean, cut.dtype)
+
+        def qmin(s):
+            # smallest float whose product with scale reaches cut (exact
+            # q_min probing, ops/cfar_pallas._kernel_detect float pass C)
+            sf = jnp.asarray(s, jnp.float32)
+            bc = jax.lax.bitcast_convert_type
+            ti = bc(cut / sf, jnp.int32)
+            q = bc(ti + 1, jnp.float32)
+            for delta in (0, -1, -2):
+                c = bc(ti + delta, jnp.float32)
+                q = jnp.where(c * sf >= cut, c, q)
+            return q
+
+    q_lo = qmin(jnp.where(so != 0, so, cfar.scale_min))
+    q_nom = qmin(jnp.where(so != 0, so, cfar.scale_nom))
+    q_hi = qmin(jnp.where(so != 0, so, cfar.scale_max))
+    z = jnp.zeros((S,), jnp.int32)
+    c_hi, c_lo, n_lo, n_nom, n_hi = z, z, z, z, z
+    for o in offs:
+        v = view(o)
+        c_hi = c_hi + (v > t_hi).astype(jnp.int32)
+        c_lo = c_lo + (v >= t_lo).astype(jnp.int32)
+        n_lo = n_lo + (v >= q_lo).astype(jnp.int32)
+        n_nom = n_nom + (v >= q_nom).astype(jnp.int32)
+        n_hi = n_hi + (v >= q_hi).astype(jnp.int32)
+    hi = c_hi >= k
+    lo = c_lo < k
     scale = jnp.where(hi, cfar.scale_max,
                       jnp.where(lo, cfar.scale_min, cfar.scale_nom))
-    so = jnp.asarray(scale_override)
     scale = jnp.where(so != 0, so, scale).astype(flat.dtype)
-    threshold = est * scale
-    det = jnp.where(cut > threshold, cut, jnp.zeros_like(cut))
+    cnt = jnp.where(hi, n_hi, jnp.where(lo, n_lo, n_nom))
+    det = jnp.where((cnt < k) & (cut > 0), cut, jnp.zeros_like(cut))
+    if need_debug:
+        # est/threshold taps (dbg_threshold, os_cfar_2d.vhd:219): only here
+        # is the rank stack materialized — debug pipelines, small maps.
+        refs = jnp.stack([view(o) for o in offs], axis=-1)
+        est = _order_statistic(refs, cfar.rank_idx)
+        threshold = est * scale
+    else:
+        threshold = jnp.zeros_like(cut)
     pos = jnp.arange(S) + base                          # stream positions
     if streaming:
         # steady state: every position emits.  ``first=True`` = the stream's
