@@ -156,6 +156,41 @@ def quick_frames():
     return frames, truths
 
 
+def golden_frame_exact(cpi: int = 0):
+    """Bit-exact regeneration of the golden-data stimulus that produced
+    ``data/radar_output.txt`` (rtl/old/tb_radar_core.vhd:85-145): 2 CPIs of
+    two full-length target tones — (range 100, Doppler 5.0, amp 8000) and
+    (range 500, Doppler -10.0, amp 5000) — plus uniform noise in +-20,
+    IEEE 1076.2 UNIFORM seeds (1, 1) running continuously across both
+    CPIs, VHDL integer() rounding then int16 clip.
+
+    Returns the requested CPI's (128, 1024) complex frame (the checked-in
+    map is CPI 0: its 131,072 rows label from (0,0) in stream order and
+    the monitor's early-exit truncated CPI 1).
+
+    The MAP itself is still not bit-reproducible from this stimulus: the
+    v3-era core drove its xfft IP with config x"01" (forward, scale
+    schedule 0 — radar_core_v3.vhd:201), i.e. UNSCALED fixed-point
+    transforms whose strong-signal stages wrap; see design_notes §3 for
+    the overflow forensics the map's structure confirms.
+    """
+    nr, nd = 1024, 128
+    s1 = s2 = 1
+    s1, s2, u = uniform_block(s1, s2, 2 * 2 * nd * nr)
+    u = u.reshape(2, nd, nr, 2)[cpi]
+    c = np.arange(nd)[:, None]
+    s = np.arange(nr)[None, :]
+    ph1 = 2.0 * np.pi * (100.0 * s / nr + 5.0 * c / nd)
+    ph2 = 2.0 * np.pi * (500.0 * s / nr + (-10.0) * c / nd)
+    i_acc = (8000.0 * np.cos(ph1) + 5000.0 * np.cos(ph2)
+             + 20.0 * (u[..., 0] - 0.5) * 2.0)
+    q_acc = (8000.0 * np.sin(ph1) + 5000.0 * np.sin(ph2)
+             + 20.0 * (u[..., 1] - 0.5) * 2.0)
+    iv = np.clip(_vhdl_int(i_acc), -32768, 32767)
+    qv = np.clip(_vhdl_int(q_acc), -32768, 32767)
+    return iv + 1j * qv
+
+
 ARTIFACT_DIR = ("/root/reference/vivado_proj/fmcw_radar_core/"
                 "fmcw_radar_core.sim/sim_1/behav/xsim")
 
