@@ -312,7 +312,8 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
             det, threshold, scale = cfar_fn(mag)
         elif hw_cfar:
             det, threshold, scale = C.cfar_2d_hw_stream(
-                mag, scale_override, cfar=p.cfar, integer=False)
+                mag, scale_override, cfar=p.cfar, integer=False,
+                need_debug=include_debug)
         else:
             det, threshold, scale = C.cfar_2d_auto(
                 mag, scale_override, cfar=p.cfar, integer=False,
@@ -344,7 +345,8 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
             det, threshold, scale = cfar_fn(mag)
         elif hw_cfar:
             det, threshold, scale = C.cfar_2d_hw_stream(
-                mag, scale_override, cfar=p.cfar, integer=True)
+                mag, scale_override, cfar=p.cfar, integer=True,
+                need_debug=include_debug)
         else:
             det, threshold, scale = C.cfar_2d_auto(
                 mag, scale_override, cfar=p.cfar, integer=True,
@@ -401,7 +403,8 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                 d, t, s, new_hist = C.cfar_2d_hw_stream(
                     mag, scale_override, cfar=p.cfar,
                     integer=(mode == "fixed"), hist=hist,
-                    streaming=True, first=first)
+                    streaming=True, first=first,
+                    need_debug=include_debug)
                 cfar_fn.new_hist = new_hist
                 return d, t, s
 

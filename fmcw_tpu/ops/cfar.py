@@ -371,66 +371,52 @@ def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     return det, threshold, scale
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfar", "integer", "streaming", "first",
-                                    "need_debug"))
-def cfar_2d_hw_stream(mag_map: jnp.ndarray,
-                      scale_override: jnp.ndarray | int = 0,
-                      cfar: CfarParams = CfarParams(),
-                      integer: bool = True,
-                      hist: jnp.ndarray | None = None,
-                      streaming: bool = False,
-                      first: bool = False,
-                      need_debug: bool = True):
-    """As-built streaming-CFAR geometry — the opt-in hw-compat mode.
+def _hw_stream_decide_xla(ext, start0, R, D, S, cfar, integer,
+                          scale_override, need_debug, pairs, layout):
+    """XLA formulation of the hw-compat per-cell decision over the flat
+    stream.  Returns flat (det, threshold, scale) in decision (true-cell)
+    order; the caller applies the emission window and label roll.
 
-    JAX mirror of golden.fixed_point.os_cfar_2d_hw_stream for ONE frame:
-    the crossed-axis window gathers over the flat range-major stream
-    (training offsets (d_row*D + d_stream), _hw_stream_offsets), cells
-    before the stream start read 0, the startup skip drops the first 3
-    cells, and detections land at the hardware's label coordinates
-    (label_flat = (true_flat - 3) mod frame_size).
+    ``layout`` selects how the 128 training views are built — "flat"
+    (misaligned 1D dynamic_slices of the ext stream) or "2d" (static
+    row-block slices + lane concat of a row-aligned reshape).  Measured on
+    hardware the two are within noise of each other (both materialize every
+    view; docs/PERF_LOG.md round 3) — the production TPU path is the Pallas
+    kernel (_hw_stream_decide_pallas), where the views are VMEM-resident
+    plane reads."""
+    offs = [dr * D + dc for dr, dc in pairs]
+    if layout == "2d":
+        pad_head = (-start0) % D
+        sr = (start0 + pad_head) // D            # row of the CUT's stream pos
+        dr_max = max(dr for dr, _ in pairs)
+        rows_total = sr + dr_max + R + 2         # +1 carry row, +1 slack
+        pad_tail = rows_total * D - (pad_head + ext.shape[0])
+        extp = jnp.pad(ext, (pad_head, max(pad_tail, 0)))
+        if pad_tail < 0:
+            extp = extp[:rows_total * D]
+        m2 = extp.reshape(rows_total, D)
 
-    Two framings:
+        def _view2(dr, dc):
+            dc_n = dc % D
+            dr_n = dr + (dc - dc_n) // D
+            r0 = sr + dr_n
+            if dc_n == 0:
+                return m2[r0:r0 + R, :].reshape(-1)
+            a = m2[r0:r0 + R, dc_n:]
+            b = m2[r0 + 1:r0 + R + 1, :dc_n]
+            return jnp.concatenate([a, b], axis=1).reshape(-1)
 
-    * ``streaming=False`` (default): the frame is the whole stream — the
-      one-shot / first-frame hardware behavior.  The final ``lag`` cells are
-      never emitted (the hardware would emit them while the next frame
-      streams in).
-    * ``streaming=True`` with ``hist`` = the previous frame's last 2*lag
-      stream cells: the steady-state behavior — decides stream positions
-      [-lag, S-lag), i.e. the previous frame's tail (re-labeled into this
-      frame's label space, as the hardware's free-running counter does) plus
-      this frame's head.  Returns ``new_hist`` to carry.
+        views = {dr * D + dc: _view2(dr, dc) for dr, dc in pairs}
 
-    Returns (det_labeled, threshold, scale[, new_hist]):
+        def view(o):
+            return views[o]
 
-    * det_labeled (R, D): zero-suppressed detections at LABEL coordinates —
-      feed directly to detect.topk_detections for hardware-labeled output;
-    * threshold / scale (R, D): debug taps in decision order (true cell
-      coordinates for ``streaming=False``).
-    """
-    if cfar.scale_mode != "cell":
-        raise ValueError("hw-compat streaming CFAR is per-cell by definition")
-    R, D = mag_map.shape
-    S = R * D
-    lag = hw_stream_lag(cfar, D)
-    flat = mag_map.reshape(-1)
-    if streaming:
-        if hist is None:
-            hist = jnp.zeros((2 * lag,), flat.dtype)
-        h = hist.reshape(-1).astype(flat.dtype)
+        cut = _view2(0, 0)
     else:
-        h = jnp.zeros((2 * lag,), flat.dtype)
-    ext = jnp.concatenate([h, flat, jnp.zeros((lag,), flat.dtype)])
-    base = -lag if streaming else 0
-    start0 = 2 * lag + base
-    offs = [dr * D + dc for dr, dc in _hw_stream_offsets(cfar)]
+        def view(o):
+            return jax.lax.dynamic_slice(ext, (start0 + o,), (S,))
 
-    def view(o):
-        return jax.lax.dynamic_slice(ext, (start0 + o,), (S,))
-
-    cut = jax.lax.dynamic_slice(ext, (start0,), (S,))
+        cut = jax.lax.dynamic_slice(ext, (start0,), (S,))
     so = jnp.asarray(scale_override)
     k = cfar.n_ref - cfar.rank_idx
 
@@ -485,7 +471,7 @@ def cfar_2d_hw_stream(mag_map: jnp.ndarray,
     lo = c_lo < k
     scale = jnp.where(hi, cfar.scale_max,
                       jnp.where(lo, cfar.scale_min, cfar.scale_nom))
-    scale = jnp.where(so != 0, so, scale).astype(flat.dtype)
+    scale = jnp.where(so != 0, so, scale).astype(ext.dtype)
     cnt = jnp.where(hi, n_hi, jnp.where(lo, n_lo, n_nom))
     det = jnp.where((cnt < k) & (cut > 0), cut, jnp.zeros_like(cut))
     if need_debug:
@@ -496,6 +482,125 @@ def cfar_2d_hw_stream(mag_map: jnp.ndarray,
         threshold = est * scale
     else:
         threshold = jnp.zeros_like(cut)
+    return det, threshold, scale
+
+
+def _hw_stream_decide_pallas(ext, start0, R, D, cfar, integer,
+                             scale_override):
+    """Kernel path for the hw-compat per-cell decision: bake the flat-stream
+    row carry into a fully-padded 2D buffer (padded column j < 0 of row r IS
+    column D+j of row r-1 and vice versa — three static reshaped slices of
+    the ext stream + one concat), swap the CfarParams axes to express the
+    crossed geometry, and run the counting detect kernel on VMEM-resident
+    planes (cfar_pallas._kernel_detect via prepadded_range="both").  The
+    gather set is identical to the flat-offset views by construction; the
+    decisions are bit-exact vs the XLA path in integer mode and
+    decision-equivalent in float (same mean-association caveat as
+    cfar_2d_auto's kernel dispatch)."""
+    import dataclasses
+    from .cfar_pallas import cfar_2d_pallas_detect
+    Hr, Hd = cfar.halo_doppler, cfar.halo_range   # rows x lanes, crossed
+    base = start0 - Hr * D
+    n = (R + 2 * Hr) * D
+    mid = ext[base:base + n].reshape(R + 2 * Hr, D)
+    up = ext[base - D:base - D + n].reshape(R + 2 * Hr, D)[:, D - Hd:]
+    down = ext[base + D:base + D + n].reshape(R + 2 * Hr, D)[:, :Hd]
+    padded = jnp.concatenate([up, mid, down], axis=1)
+    cfar_sw = dataclasses.replace(cfar, ref_range=cfar.ref_doppler,
+                                  ref_doppler=cfar.ref_range,
+                                  guard_range=cfar.guard_doppler,
+                                  guard_doppler=cfar.guard_range)
+    return cfar_2d_pallas_detect(
+        padded, scale_override, cfar=cfar_sw, integer=integer,
+        prepadded_range="both",
+        interpret=jax.default_backend() != "tpu", int_bits=17)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfar", "integer", "streaming", "first",
+                                    "need_debug", "layout", "method"))
+def cfar_2d_hw_stream(mag_map: jnp.ndarray,
+                      scale_override: jnp.ndarray | int = 0,
+                      cfar: CfarParams = CfarParams(),
+                      integer: bool = True,
+                      hist: jnp.ndarray | None = None,
+                      streaming: bool = False,
+                      first: bool = False,
+                      need_debug: bool = True,
+                      layout: str = "flat",
+                      method: str = "auto"):
+    """As-built streaming-CFAR geometry — the opt-in hw-compat mode.
+
+    JAX mirror of golden.fixed_point.os_cfar_2d_hw_stream for ONE frame:
+    the crossed-axis window gathers over the flat range-major stream
+    (training offsets (d_row*D + d_stream), _hw_stream_offsets), cells
+    before the stream start read 0, the startup skip drops the first 3
+    cells, and detections land at the hardware's label coordinates
+    (label_flat = (true_flat - 3) mod frame_size).
+
+    Two framings:
+
+    * ``streaming=False`` (default): the frame is the whole stream — the
+      one-shot / first-frame hardware behavior.  The final ``lag`` cells are
+      never emitted (the hardware would emit them while the next frame
+      streams in).
+    * ``streaming=True`` with ``hist`` = the previous frame's last 2*lag
+      stream cells: the steady-state behavior — decides stream positions
+      [-lag, S-lag), i.e. the previous frame's tail (re-labeled into this
+      frame's label space, as the hardware's free-running counter does) plus
+      this frame's head.  Returns ``new_hist`` to carry.
+
+    Returns (det_labeled, threshold, scale[, new_hist]):
+
+    * det_labeled (R, D): zero-suppressed detections at LABEL coordinates —
+      feed directly to detect.topk_detections for hardware-labeled output;
+    * threshold / scale (R, D): debug taps in decision order (true cell
+      coordinates for ``streaming=False``).
+
+    ``method``: "xla" (the flat-stream view formulation below), "pallas"
+    (the counting detect kernel on a row-carry-baked padded buffer —
+    ~6x on hardware, no threshold taps), or "auto" (pallas on TPU when
+    need_debug is False, xla otherwise).  Integer-mode decisions are
+    bit-identical across methods; float mode is decision-equivalent (the
+    kernel's adaptive-scale mean uses the separable box tree — the same
+    contract as cfar_2d_auto's kernel dispatch).
+    """
+    if cfar.scale_mode != "cell":
+        raise ValueError("hw-compat streaming CFAR is per-cell by definition")
+    R, D = mag_map.shape
+    S = R * D
+    lag = hw_stream_lag(cfar, D)
+    flat = mag_map.reshape(-1)
+    if streaming:
+        if hist is None:
+            hist = jnp.zeros((2 * lag,), flat.dtype)
+        h = hist.reshape(-1).astype(flat.dtype)
+    else:
+        h = jnp.zeros((2 * lag,), flat.dtype)
+    ext = jnp.concatenate([h, flat, jnp.zeros((lag,), flat.dtype)])
+    base = -lag if streaming else 0
+    start0 = 2 * lag + base
+    pairs = _hw_stream_offsets(cfar)
+    offs = [dr * D + dc for dr, dc in pairs]
+
+    if method == "auto":
+        # The counting kernel has no threshold taps and its row-carry
+        # padding assumes a single-row carry (lane halo < D).
+        method = ("pallas" if jax.default_backend() == "tpu"
+                  and not need_debug and cfar.halo_range < D else "xla")
+    if method == "pallas":
+        if need_debug:
+            raise ValueError("method='pallas' computes no threshold taps; "
+                             "pass need_debug=False or method='xla'")
+        d2, s2 = _hw_stream_decide_pallas(ext, start0, R, D, cfar, integer,
+                                          jnp.asarray(scale_override))
+        det = d2.reshape(-1)
+        scale = s2.reshape(-1).astype(flat.dtype)
+        threshold = jnp.zeros_like(det)
+    else:
+        det, threshold, scale = _hw_stream_decide_xla(
+            ext, start0, R, D, S, cfar, integer, scale_override, need_debug,
+            pairs, layout)
     pos = jnp.arange(S) + base                          # stream positions
     if streaming:
         # steady state: every position emits.  ``first=True`` = the stream's

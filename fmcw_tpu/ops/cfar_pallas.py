@@ -339,10 +339,15 @@ def _kernel_detect_scaled(mag_ref, padded_ref, scale_in_ref, det_ref,
 
 
 def _prepare(mag_map, scale_override, cfar: CfarParams, integer: bool,
-             prepadded_range: bool, tile_rows: int):
+             prepadded_range, tile_rows: int):
     """Shared wrapper prep for both kernels: variant/dtype validation, the
     int32 (or bitcast-f32) view, halo padding, and the tile-rows fallback.
-    Returns (core, padded, so, R, D, tile_rows)."""
+    Returns (core, padded, so, R, D, tile_rows).
+
+    ``prepadded_range``: False = pad both axes here (edge_mode), True = range
+    rows arrive pre-padded (the sharded halo exchange), "both" = the map
+    arrives fully padded on both axes — the caller owns the edge semantics
+    entirely (the hw-compat flat-stream mode bakes its row-carry columns)."""
     if cfar.variant != "os":
         raise ValueError("pallas kernel implements the os variant; use "
                          "ops.cfar.cfar_2d for ca/go/so")
@@ -357,6 +362,15 @@ def _prepare(mag_map, scale_override, cfar: CfarParams, integer: bool,
     else:
         m32 = jax.lax.bitcast_convert_type(m.astype(jnp.float32), jnp.int32)
 
+    if prepadded_range == "both":
+        R = m.shape[0] - 2 * hr
+        padded = m32
+        core = m32[hr:-hr, hd:-hd]
+        D = m.shape[1] - 2 * hd
+        if R % tile_rows:
+            tile_rows = int(np.gcd(R, tile_rows))
+        so = jnp.asarray(scale_override, jnp.int32).reshape(1)
+        return core, padded, so, R, D, tile_rows
     if prepadded_range:
         R = m.shape[0] - 2 * hr
         padded = jnp.pad(m32, ((0, 0), (hd, hd)), mode=cfar.edge_mode)

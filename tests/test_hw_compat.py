@@ -391,3 +391,56 @@ def test_pipeline_hw_stream_continuous_matches_golden():
         (int(a), int(b), int(c)) for a, b, c, keep in
         zip(lr, ld, lm, emitted_by_call3) if keep)
     assert sorted(got) == want_now
+
+
+@pytest.mark.parametrize("gi", range(len(GEOMETRIES)))
+def test_xla_hw_stream_2d_layout_equals_flat(gi):
+    """The 2D row/lane view decomposition (the TPU-fast default layout) is
+    bit-identical to the legacy flat dynamic_slice formulation on every
+    output, one-shot and streaming (see docs/PERF_LOG.md round 3)."""
+    from fmcw_tpu.ops import cfar as C
+    cfar, R, D = GEOMETRIES[gi]
+    f = _stim(R, D, 2, seed=60 + gi)
+    lag = fx.hw_stream_lag(cfar, D)
+    for integer in (True, False):
+        dt = np.int32 if integer else np.float32
+        hist = f[0].reshape(-1)[-2 * lag:].astype(dt)
+        for kw in (dict(),
+                   dict(streaming=True, first=True),
+                   dict(hist=hist, streaming=True)):
+            a = C.cfar_2d_hw_stream(f[1].astype(dt), 0, cfar=cfar,
+                                    integer=integer, layout="2d", **kw)
+            b = C.cfar_2d_hw_stream(f[1].astype(dt), 0, cfar=cfar,
+                                    integer=integer, layout="flat", **kw)
+            for x, y in zip(a, b):
+                assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("gi", range(len(GEOMETRIES)))
+def test_xla_hw_stream_pallas_method_equals_xla(gi):
+    """The counting-kernel method (row-carry-baked padded buffer +
+    axis-swapped CfarParams, the TPU production path — interpreted here)
+    makes identical decisions to the XLA method: det/scale/hist bit-equal
+    in integer AND float mode, one-shot and streaming, with and without a
+    scale override."""
+    from fmcw_tpu.ops import cfar as C
+    cfar, R, D = GEOMETRIES[gi]
+    f = _stim(R, D, 2, seed=80 + gi)
+    lag = fx.hw_stream_lag(cfar, D)
+    for integer in (True, False):
+        dt = np.int32 if integer else np.float32
+        hist = f[0].reshape(-1)[-2 * lag:].astype(dt)
+        for so in (0, 3):
+            for kw in (dict(),
+                       dict(streaming=True, first=True),
+                       dict(hist=hist, streaming=True)):
+                a = C.cfar_2d_hw_stream(f[1].astype(dt), so, cfar=cfar,
+                                        integer=integer, need_debug=False,
+                                        method="pallas", **kw)
+                b = C.cfar_2d_hw_stream(f[1].astype(dt), so, cfar=cfar,
+                                        integer=integer, need_debug=False,
+                                        method="xla", **kw)
+                for i, (x, y) in enumerate(zip(a, b)):
+                    if i == 1:
+                        continue          # thresholds: pallas has no taps
+                    assert np.array_equal(np.asarray(x), np.asarray(y))
