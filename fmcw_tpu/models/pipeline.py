@@ -313,7 +313,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         elif hw_cfar:
             det, threshold, scale = C.cfar_2d_hw_stream(
                 mag, scale_override, cfar=p.cfar, integer=False,
-                need_debug=include_debug)
+                need_debug=include_debug, label_roll=False)
         else:
             det, threshold, scale = C.cfar_2d_auto(
                 mag, scale_override, cfar=p.cfar, integer=False,
@@ -346,7 +346,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         elif hw_cfar:
             det, threshold, scale = C.cfar_2d_hw_stream(
                 mag, scale_override, cfar=p.cfar, integer=True,
-                need_debug=include_debug)
+                need_debug=include_debug, label_roll=False)
         else:
             det, threshold, scale = C.cfar_2d_auto(
                 mag, scale_override, cfar=p.cfar, integer=True,
@@ -369,6 +369,14 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
             iq, mti_bypass, scale_override)
         if peak_group_radius > 0:
             det = C.peak_group(det, radius=peak_group_radius)
+        if hw_cfar:
+            # Grouping ran in decision (true-cell) order — physical
+            # adjacency; only now rotate into the hardware's label space
+            # (C.hw_stream_label_shift: true neighbors straddling the
+            # 3-cell seam would otherwise be label rows apart).
+            shift = C.hw_stream_label_shift(p.cfar, p.n_doppler,
+                                            streaming=False)
+            det = jnp.roll(det.reshape(-1), -shift).reshape(det.shape)
         out = DET.topk_detections(det, max_dets=max_dets)
         out["saturation_count"] = sat
         out["nonfinite_count"] = nonfinite
@@ -404,7 +412,7 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                     mag, scale_override, cfar=p.cfar,
                     integer=(mode == "fixed"), hist=hist,
                     streaming=True, first=first,
-                    need_debug=include_debug)
+                    need_debug=include_debug, label_roll=False)
                 cfar_fn.new_hist = new_hist
                 return d, t, s
 
@@ -412,12 +420,20 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                 iq, mti_bypass, scale_override, cfar_fn)
             if peak_group_radius > 0:
                 det = C.peak_group(det, radius=peak_group_radius)
+            # Group in decision order, then rotate into label space
+            # (see _process).
+            shift = C.hw_stream_label_shift(p.cfar, p.n_doppler,
+                                            streaming=True)
+            det = jnp.roll(det.reshape(-1), -shift).reshape(det.shape)
             out = DET.topk_detections(det, max_dets=max_dets)
             out["saturation_count"] = sat
             out["nonfinite_count"] = nonfinite
             if include_maps:
                 out["mag_map"] = mag
                 out["det_map"] = det
+            if include_debug:
+                out["threshold_map"] = threshold
+                out["scale_map"] = scale
             return out, cfar_fn.new_hist
 
         def process_stream(iq, mti_bypass=False, scale_override=0,

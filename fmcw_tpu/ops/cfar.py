@@ -518,7 +518,8 @@ def _hw_stream_decide_pallas(ext, start0, R, D, cfar, integer,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfar", "integer", "streaming", "first",
-                                    "need_debug", "layout", "method"))
+                                    "need_debug", "layout", "method",
+                                    "label_roll"))
 def cfar_2d_hw_stream(mag_map: jnp.ndarray,
                       scale_override: jnp.ndarray | int = 0,
                       cfar: CfarParams = CfarParams(),
@@ -528,7 +529,8 @@ def cfar_2d_hw_stream(mag_map: jnp.ndarray,
                       first: bool = False,
                       need_debug: bool = True,
                       layout: str = "flat",
-                      method: str = "auto"):
+                      method: str = "auto",
+                      label_roll: bool = True):
     """As-built streaming-CFAR geometry — the opt-in hw-compat mode.
 
     JAX mirror of golden.fixed_point.os_cfar_2d_hw_stream for ONE frame:
@@ -553,9 +555,16 @@ def cfar_2d_hw_stream(mag_map: jnp.ndarray,
     Returns (det_labeled, threshold, scale[, new_hist]):
 
     * det_labeled (R, D): zero-suppressed detections at LABEL coordinates —
-      feed directly to detect.topk_detections for hardware-labeled output;
+      feed directly to detect.topk_detections for hardware-labeled output.
+      ``label_roll=False`` skips the rotation and returns detections in
+      decision (true-cell) order instead — for consumers that group peaks
+      first (physical adjacency); apply ``hw_stream_label_shift`` after;
     * threshold / scale (R, D): debug taps in decision order (true cell
       coordinates for ``streaming=False``).
+
+    ``streaming=True`` without ``hist`` forces ``first=True`` (no history
+    IS the stream's first frame; the startup skip must suppress cells 0-2,
+    whose training sets are mostly synthetic zeros).
 
     ``method``: "xla" (the flat-stream view formulation below), "pallas"
     (the counting detect kernel on a row-carry-baked padded buffer —
@@ -573,7 +582,11 @@ def cfar_2d_hw_stream(mag_map: jnp.ndarray,
     flat = mag_map.reshape(-1)
     if streaming:
         if hist is None:
+            # No history = this IS the stream's first frame: force the
+            # startup suppression (cells 0-2 train on the synthetic zero
+            # hist and would spuriously pass otherwise).
             hist = jnp.zeros((2 * lag,), flat.dtype)
+            first = True
         h = hist.reshape(-1).astype(flat.dtype)
     else:
         h = jnp.zeros((2 * lag,), flat.dtype)
@@ -581,7 +594,6 @@ def cfar_2d_hw_stream(mag_map: jnp.ndarray,
     base = -lag if streaming else 0
     start0 = 2 * lag + base
     pairs = _hw_stream_offsets(cfar)
-    offs = [dr * D + dc for dr, dc in pairs]
 
     if method == "auto":
         # The counting kernel has no threshold taps and its row-carry
@@ -613,11 +625,23 @@ def cfar_2d_hw_stream(mag_map: jnp.ndarray,
         emitted = (pos >= 3) & (pos < S - lag)
         shift = 3
     det = jnp.where(emitted, det, jnp.zeros_like(det))
-    det_labeled = jnp.roll(det, -shift).reshape(R, D)
-    out = (det_labeled, threshold.reshape(R, D), scale.reshape(R, D))
+    if label_roll:
+        det = jnp.roll(det, -shift)
+    out = (det.reshape(R, D), threshold.reshape(R, D), scale.reshape(R, D))
     if streaming:
         return out + (flat[-2 * lag:],)
     return out
+
+
+def hw_stream_label_shift(cfar: CfarParams, n_doppler: int,
+                          streaming: bool) -> int:
+    """Flat-cell shift from decision (true-cell) order to the hardware's
+    label coordinates for cfar_2d_hw_stream(label_roll=False) consumers:
+    apply ``jnp.roll(det.reshape(-1), -shift)``.  Peak grouping must run in
+    decision order (physical adjacency) BEFORE this roll — label space is
+    rotated 3 flat cells, so true neighbors straddling the seam are label
+    rows apart (models/pipeline.py does this)."""
+    return (hw_stream_lag(cfar, n_doppler) + 3) if streaming else 3
 
 
 def cfar_1d(x: jnp.ndarray, ref_cells: int = 8, guard_cells: int = 2,

@@ -444,3 +444,59 @@ def test_xla_hw_stream_pallas_method_equals_xla(gi):
                     if i == 1:
                         continue          # thresholds: pallas has no taps
                     assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_hw_stream_no_hist_forces_startup_skip():
+    """streaming=True without hist IS the stream's first frame: the op
+    must apply the startup suppression regardless of the ``first`` flag
+    (cells 0-2 train on the synthetic zero history and would spuriously
+    pass otherwise)."""
+    from fmcw_tpu.ops import cfar as C
+    cfar, R, D = GEOMETRIES[0]
+    f = _stim(R, D, 1, seed=90)[0].astype(np.int32)
+    # Plant strong cells at stream positions 0-2: with a zero history they
+    # spuriously pass unless the startup skip suppresses them.
+    f[0, :3] = 30000
+    a = C.cfar_2d_hw_stream(f, 0, cfar=cfar, integer=True, streaming=True)
+    b = C.cfar_2d_hw_stream(f, 0, cfar=cfar, integer=True, streaming=True,
+                            first=True)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+    # and the suppression really happened: label cells for stream pos 0-2
+    # (label_flat = pos - 3 mod S) are zero.
+    det = np.asarray(a[0]).reshape(-1)
+    S = R * D
+    assert all(det[(pos - 3) % S] == 0 for pos in range(3))
+
+
+def test_pipeline_hw_compat_groups_in_decision_order():
+    """The pipeline applies peak grouping on the decision-order (true-cell)
+    det map — physical adjacency — and only then rotates into label space.
+    Pinned by recomposing from the op primitives on the pipeline's own mag
+    map (one-shot and streaming framings)."""
+    from fmcw_tpu import params as P
+    from fmcw_tpu.models import pipeline as pl
+    from fmcw_tpu.ops import cfar as C
+    from fmcw_tpu.golden import reference as ref
+    p = P.quick()
+    proc = pl.make_processor(p, mode="fixed", cfar_geometry="hw_stream",
+                             peak_group_radius=1, include_maps=True)
+    iq = pl.complex_to_iq(ref.two_target_frame(p, seed=21))
+    out = proc(iq)
+    mag = np.asarray(out["mag_map"])
+    det, _, _ = C.cfar_2d_hw_stream(mag, 0, cfar=p.cfar, integer=True,
+                                    need_debug=False, label_roll=False)
+    det = C.peak_group(det, radius=1)
+    shift = C.hw_stream_label_shift(p.cfar, p.n_doppler, streaming=False)
+    want = np.roll(np.asarray(det).reshape(-1), -shift).reshape(det.shape)
+    assert np.array_equal(np.asarray(out["det_map"]), want)
+
+    out2, _ = proc.stream(iq)
+    mag2 = np.asarray(out2["mag_map"])
+    det2, _, _, _ = C.cfar_2d_hw_stream(mag2, 0, cfar=p.cfar, integer=True,
+                                        need_debug=False, label_roll=False,
+                                        streaming=True)
+    det2 = C.peak_group(det2, radius=1)
+    shift2 = C.hw_stream_label_shift(p.cfar, p.n_doppler, streaming=True)
+    want2 = np.roll(np.asarray(det2).reshape(-1), -shift2).reshape(det2.shape)
+    assert np.array_equal(np.asarray(out2["det_map"]), want2)
