@@ -52,13 +52,23 @@ def pd_pfa(p: RadarParams, *, snr_dbs=(-35, -30, -27, -24, -21, -18),
            variants=("os", "ca", "go", "so"), trials: int = 32,
            noise_trials: int = 16, seed: int = 0, tolerance: int = 1,
            sigma: float = 64.0, mti_bypass: bool = True,
-           processor_kw: dict | None = None) -> dict:
+           processor_kw: dict | None = None,
+           truth_doppler_offset: float = 0.0,
+           range_hi_margin: int = 0) -> dict:
     """Monte-Carlo Pd(SNR) curves and noise-only Pfa per CFAR variant.
 
     Targets are injected at random fractional bins away from the Doppler
     notch (``mti_bypass=True`` by default so zero-Doppler placement is also
     fair; pass False to include the MTI in the chain).  Returns
     ``{variant: {"pfa": float, "pd": {snr_db: float}}}``.
+
+    For the hw-compat detector (``processor_kw={"cfar_geometry":
+    "hw_stream"}``) pass ``truth_doppler_offset=-3`` — detections come
+    back at the hardware's label coordinates, 3 flat cells behind the true
+    cell (docs/design_notes.md §4; Pfa is count-based and unaffected) —
+    and ``range_hi_margin`` covering the one-shot framing's never-emitted
+    tail (ceil(lag/n_doppler)+1 range rows), so truth placement stays
+    inside the emission window.
     """
     import jax
     from ..models import pipeline as pl
@@ -92,7 +102,8 @@ def pd_pfa(p: RadarParams, *, snr_dbs=(-35, -30, -27, -24, -21, -18),
                 dmargin = max(dmargin, p.n_doppler // 8)
             for _ in range(trials):
                 rbin = rng.uniform(p.cfar.halo_range + 1,
-                                   p.n_range - p.cfar.halo_range - 2)
+                                   p.n_range - p.cfar.halo_range - 2
+                                   - range_hi_margin)
                 dbin = rng.uniform(dmargin, p.n_doppler - dmargin - 1)
                 truths.append((rbin, dbin))
                 batch.append(synth_trial_frame(pv, rng, snr, rbin, dbin,
@@ -106,7 +117,8 @@ def pd_pfa(p: RadarParams, *, snr_dbs=(-35, -30, -27, -24, -21, -18),
                     continue
                 dr = np.abs(out["range_bin"][i][v] - rbin)
                 dr = np.minimum(dr, p.n_range - dr)       # wrap distance
-                dd = np.abs(out["doppler_bin"][i][v] - dbin)
+                dd = np.abs(out["doppler_bin"][i][v]
+                            - (dbin + truth_doppler_offset))
                 dd = np.minimum(dd, p.n_doppler - dd)
                 if (np.maximum(dr, dd) <= tolerance + 0.5).any():
                     hits += 1

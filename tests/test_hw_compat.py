@@ -500,3 +500,28 @@ def test_pipeline_hw_compat_groups_in_decision_order():
     shift2 = C.hw_stream_label_shift(p.cfar, p.n_doppler, streaming=True)
     want2 = np.roll(np.asarray(det2).reshape(-1), -shift2).reshape(det2.shape)
     assert np.array_equal(np.asarray(out2["det_map"]), want2)
+
+
+def test_pallas_method_random_geometry_fuzz():
+    """Randomized window geometries: the counting-kernel method's labeled
+    detections match the golden streaming model one-shot (closing the
+    oracle == golden == xla == pallas chain on shapes beyond the fixed
+    GEOMETRIES list)."""
+    from fmcw_tpu.ops import cfar as C
+    rng = np.random.default_rng(42)
+    for _ in range(5):
+        rr, rd = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        gr, gd = int(rng.integers(0, 3)), int(rng.integers(0, 3))
+        cfar = CfarParams(ref_range=rr, ref_doppler=rd,
+                          guard_range=gr, guard_doppler=gd)
+        D = int(rng.choice([8, 16]))
+        if cfar.halo_range >= D:
+            D = 16
+        R = int(rng.integers(3, 7)) * 4
+        f = _stim(R, D, 1, seed=int(rng.integers(1 << 30)))[0]
+        det_map, _, _ = C.cfar_2d_hw_stream(
+            f.astype(np.int32), 0, cfar=cfar, integer=True,
+            need_debug=False, method="pallas")
+        lr, ld, lm = fx.os_cfar_2d_hw_stream(f, cfar)
+        assert _labeled_dets(det_map) == sorted(
+            zip(lr.tolist(), ld.tolist(), lm.tolist())), (rr, rd, gr, gd, R, D)

@@ -42,6 +42,8 @@ def main():
     from fmcw_tpu.utils import eval as ev
 
     if args.artifact:
+        import math
+        from fmcw_tpu.golden.fixed_point import hw_stream_lag
         spec = dict(n_range=256, n_doppler=64, trials=64, noise_trials=32,
                     seed=0, sigma=64.0, tolerance=1, mti_bypass=True,
                     snr_dbs=[-35, -30, -27, -24, -21, -18])
@@ -62,6 +64,27 @@ def main():
                 for v, r in res.items()}
             print(f"--- scale_mode={mode} ---")
             print(ev.format_table(res))
+        # The as-built (hw-compat) detector: crossed-axis streaming
+        # geometry at label coordinates — truth matching compensates the
+        # -3-cell label offset, placement avoids the one-shot framing's
+        # never-emitted tail rows (utils/eval.pd_pfa docstring).
+        p_hw = RadarParams(n_range=spec["n_range"],
+                           n_doppler=spec["n_doppler"], cfar=CfarParams())
+        margin = math.ceil(hw_stream_lag(p_hw.cfar, p_hw.n_doppler)
+                           / p_hw.n_doppler) + 1
+        res = ev.pd_pfa(p_hw, variants=("os",), trials=spec["trials"],
+                        noise_trials=spec["noise_trials"],
+                        seed=spec["seed"], sigma=spec["sigma"],
+                        tolerance=spec["tolerance"],
+                        snr_dbs=tuple(spec["snr_dbs"]),
+                        processor_kw={"cfar_geometry": "hw_stream"},
+                        truth_doppler_offset=-3, range_hi_margin=margin)
+        art["results"]["hw_stream"] = {
+            v: {"pfa": r["pfa"],
+                "pd": {str(k): pd for k, pd in r["pd"].items()}}
+            for v, r in res.items()}
+        print("--- hw-compat (as-built streaming geometry) ---")
+        print(ev.format_table(res))
         with open(args.artifact, "w") as f:
             json.dump(art, f, indent=1, sort_keys=True)
             f.write("\n")
