@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--faithful", action="store_true",
                     help="reference-faithful burst target synthesis "
                          "(tb_tactical.vhd:252-266) instead of point targets")
+    ap.add_argument("--hw-compat", action="store_true",
+                    help="as-built streaming CFAR (cfar_geometry="
+                         "'hw_stream'): crossed-axis geometry, startup "
+                         "skip, hardware label coordinates; frames drive "
+                         "the stateful proc.stream so inter-frame bleed "
+                         "matches the real hardware (design_notes §4)")
     ap.add_argument("--logs", default=None,
                     help="skip processing; render existing logs in DIR")
     ap.add_argument("--iq-file", default=None, metavar="BIN",
@@ -118,6 +124,20 @@ def main():
         proc = lambda iq: jax.tree.map(
             lambda x: np.asarray(x)[0], sproc(iq[None]))
         print(f"mesh: dp=1 sp={args.sharded} on {jax.devices()[0].platform}")
+    elif args.hw_compat:
+        if args.array or args.sharded:
+            ap.error("--hw-compat is single-chip by design (the as-built "
+                     "streaming semantics are one sequential stream)")
+        hproc = pl.make_processor(p, mode=args.mode,
+                                  cfar_geometry="hw_stream",
+                                  peak_group_radius=2, include_maps=True)
+        hw_carry = {"hist": None}
+
+        def proc(iq):
+            out, hw_carry["hist"] = hproc.stream(iq, hist=hw_carry["hist"])
+            return out
+
+        print(f"single chip, hw-compat streaming CFAR: {jax.devices()[0]}")
     else:
         proc = pl.make_processor(p, mode=args.mode, peak_group_radius=2)
         print(f"single chip: {jax.devices()[0]}")
