@@ -80,31 +80,38 @@ def main():
     # Event names carry the HLO/jax op names: the corner turn is
     # "all-to-all*", the CFAR halo ring "ppermute.*", the detection gather
     # "all_gather.*".  The denominator is total op-execution thread time on
-    # the XLA executor lanes (tf_XLAEigen workers + PjRtCpuClient), with
-    # bookkeeping spans (ThunkExecutor waits, "end:" markers, pool awaits)
-    # excluded — on the serial-thunk CPU backend this is the honest
-    # "work time" a collective's share is measured against.
+    # the XLA executor lanes — the tf_XLA* worker pools AND the PjRt
+    # client threads (some thunks execute inline on the calling thread;
+    # excluding that lane would silently drop their work from the
+    # denominator).  Python/jit wrapper lanes stay excluded: their spans
+    # ENCLOSE the worker-lane op spans and would double-count.
+    # Bookkeeping spans (ThunkExecutor waits, "end:" markers, pool awaits,
+    # PjRt dispatch shells) are excluded by name — on the serial-thunk CPU
+    # backend what remains is the honest "work time" a collective's share
+    # is measured against.
     buckets = {
         "all-to-all": re.compile(r"^all-to-all"),
         "cfar-halo-ppermute": re.compile(r"^ppermute"),
         "detection-all-gather": re.compile(r"^all_gather"),
     }
     skip = re.compile(r"^(end:|ThunkExecutor|SlinkyThreadPool|PjRt|"
-                      r"CommonPjRt|Handle inputs|.*Await|EventPool|RunReady)")
+                      r"CommonPjRt|Handle inputs|.*Await|EventPool|RunReady|"
+                      r"ExecuteAddressable|Execute$|BufferFromHostBuffer|"
+                      r"TransferTo|CopyToDevice|Compile|XlaComputation)")
     lane = {}
     for ev in events:
         if isinstance(ev, dict) and ev.get("ph") == "M" \
                 and ev.get("name") == "thread_name":
             lane[(ev.get("pid"), ev.get("tid"))] = \
                 ev.get("args", {}).get("name", "") or ""
+    lane_ok = re.compile(r"tf_XLA|PjRt")
     totals = {k: 0.0 for k in buckets}
     total_dev = 0.0
     n_ev = 0
     for ev in events:
         if not isinstance(ev, dict) or ev.get("ph") != "X":
             continue
-        if not lane.get((ev.get("pid"), ev.get("tid")), "").startswith(
-                "tf_XLA"):
+        if not lane_ok.search(lane.get((ev.get("pid"), ev.get("tid")), "")):
             continue
         name = ev.get("name", "")
         if skip.match(name):
