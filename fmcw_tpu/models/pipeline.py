@@ -489,7 +489,9 @@ def make_array_processor(params: RadarParams | None = None,
     kernel accepts the beamformed float I/Q directly) and the gates of
     fused_detect_supported hold; the vmapped XLA chain + cfar_3d
     otherwise (always for ``ref_angle > 0``, whose training set spans
-    neighbor beams).
+    neighbor beams — there cfar_3d itself auto-resolves its decision to
+    the angle-extended counting kernel on TPU, the only formulation that
+    fits full-size cubes on-chip; docs/PERF_LOG.md round 3).
 
     Peak grouping: ``peak_group_radius`` groups each beam's 2D map
     (ops/cfar.peak_group semantics — in-kernel on the fused path), then

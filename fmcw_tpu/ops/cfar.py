@@ -704,6 +704,23 @@ def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
                                    integer=integer, method=method)
         return jax.vmap(f)(cube)
 
+    if method == "auto":
+        method = ("pallas" if cfar.variant == "os"
+                  and cfar.scale_mode == "cell"
+                  and jax.default_backend() == "tpu" else "xla")
+    if method == "pallas":
+        # Counting detect kernel on the flattened (angle, range)-row layout
+        # (cfar_pallas.cfar_3d_pallas_detect): integer decisions bit-exact
+        # vs the XLA body below, float decision-equivalent; no threshold
+        # taps (None), mirroring cfar_2d_auto's need_debug=False contract.
+        from .cfar_pallas import cfar_3d_pallas_detect
+        det, scale = cfar_3d_pallas_detect(
+            cube, scale_override, cfar=cfar, integer=integer,
+            ref_angle=ref_angle, guard_angle=guard_angle,
+            prepadded_angle=prepadded_angle,
+            interpret=jax.default_backend() != "tpu")
+        return det, None, scale
+
     offs3 = []
     for da in range(-(ref_angle + guard_angle), ref_angle + guard_angle + 1):
         for d in range(cfar.win_doppler):

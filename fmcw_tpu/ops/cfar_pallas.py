@@ -554,3 +554,228 @@ def cfar_2d_pallas(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
         thr = jax.lax.bitcast_convert_type(thr32, jnp.float32)
         scale_out = scale_out.astype(jnp.float32)  # match the XLA path's dtype
     return det, thr, scale_out
+
+
+# ---------------------------------------------------------------------------
+# Angle-extended (3D) detect kernel: ref_angle > 0 cross-beam training sets
+# ---------------------------------------------------------------------------
+
+def _offsets_3d(cfar: CfarParams, ref_angle: int, guard_angle: int):
+    """Training offsets (da, dr, dd) of ops.cfar.cfar_3d's box-minus-
+    guard-box neighborhood, in its construction order."""
+    offs = []
+    for da in range(-(ref_angle + guard_angle), ref_angle + guard_angle + 1):
+        for d in range(cfar.win_doppler):
+            for r in range(cfar.win_range):
+                if (abs(da) <= guard_angle
+                        and abs(d - cfar.halo_doppler) <= cfar.guard_doppler
+                        and abs(r - cfar.halo_range) <= cfar.guard_range):
+                    continue
+                offs.append((da, r - cfar.halo_range, d - cfar.halo_doppler))
+    return offs
+
+
+def _kernel_detect_3d(cut_ref, padded_ref, so_ref, det_ref, scale_ref,
+                      rot_ref, *, cfar: CfarParams, integer: bool,
+                      offsets, n_ref: int, rank_idx: int, tile_rows: int,
+                      rows_per_plane: int, plane_stride: int, ha: int,
+                      exact_div: bool = True):
+    """cfar_3d's per-cell decision by counting, on a flattened (angle,
+    range)-row layout.
+
+    The padded cube arrives as a 2D buffer of (A + 2*ha)*plane_stride rows
+    x (D + 2*hd) lanes — each angle plane padded to ``plane_stride`` rows
+    (R + 2*hr rounded up to a sublane multiple) so an angle offset ``da``
+    is the constant row offset da*plane_stride.  One lane-sliced rotated
+    copy per (da, dd) pair makes every training read a static sublane
+    slice, exactly like _kernel_detect's per-dd copies.  Decisions follow
+    _kernel_detect's counting passes (mean -> hi/lo -> threshold count)
+    over the enlarged training set; integer mode is bit-exact vs
+    ops.cfar.cfar_3d.
+    """
+    i = pl.program_id(0)
+    hr, hd = cfar.halo_range, cfar.halo_doppler
+    D = cut_ref.shape[1]
+    k = n_ref - rank_idx
+    n_tiles_r = rows_per_plane // tile_rows      # rows_per_plane == R here
+    a = i // n_tiles_r
+    r0 = (i % n_tiles_r) * tile_rows
+    base = (ha + a) * plane_stride + r0          # padded row of cut (a, r0-hr)
+
+    das = sorted({da for da, _, _ in offsets})
+    dds = list(range(-hd, hd + 1))
+
+    # One rotated copy per (da, dd): rows [base + da*stride, +tile+2hr) at
+    # lane offset dd — all training reads below are static sublane slices.
+    for ai, da in enumerate(das):
+        for di, dd in enumerate(dds):
+            rot_ref[ai * len(dds) + di] = padded_ref[
+                pl.ds(base + da * plane_stride, tile_rows + 2 * hr),
+                pl.ds(hd + dd, D)].astype(jnp.int32)
+
+    def view(da, dr, dd):
+        idx = das.index(da) * len(dds) + dds.index(dd)
+        return rot_ref[idx, pl.ds(hr + dr, tile_rows), :]
+
+    def fval(v):
+        return pltpu.bitcast(v, jnp.float32)
+
+    conv = (lambda v: v) if integer else fval
+    zero = jnp.zeros((tile_rows, D), jnp.int32)
+
+    # Pass A: training-set mean (sum over all offsets; integer sums are
+    # association-order-free, float matches cfar_3d only decision-
+    # equivalently — same contract as the 2D kernels vs the XLA OS branch).
+    sum_refs = None
+    for da, dr, dd in offsets:
+        v = conv(view(da, dr, dd))
+        sum_refs = v if sum_refs is None else sum_refs + v
+    if integer:
+        mean = sum_refs // n_ref
+        t_hi = mean + (mean >> 1)
+        t_lo = mean >> 1
+    else:
+        mean = sum_refs / n_ref
+        t_hi = 1.5 * mean
+        t_lo = 0.5 * mean
+
+    # Pass B: hi/lo clutter classification counts.
+    cnt_hi, cnt_lo = zero, zero
+    for da, dr, dd in offsets:
+        v = conv(view(da, dr, dd))
+        cnt_hi = cnt_hi + (v > t_hi).astype(jnp.int32)
+        cnt_lo = cnt_lo + (v >= t_lo).astype(jnp.int32)
+    hi = cnt_hi >= k
+    lo = cnt_lo < k
+    so = so_ref[0]
+    scale = jnp.where(hi, cfar.scale_max,
+                      jnp.where(lo, cfar.scale_min, cfar.scale_nom))
+    scale = jnp.where(so != 0, so, scale)
+
+    # Pass C: the threshold decision (cfar_3d: det where cut > est*scale).
+    cnt_det = zero
+    if integer and exact_div:
+        cut = cut_ref[...]
+        q = jnp.floor((cut - 1).astype(jnp.float32)
+                      / scale.astype(jnp.float32)).astype(jnp.int32) + 1
+        for da, dr, dd in offsets:
+            cnt_det = cnt_det + (view(da, dr, dd) >= q).astype(jnp.int32)
+        det = (cnt_det < k) & (cut > 0)
+        det_ref[...] = jnp.where(det, cut, jnp.zeros_like(cut))
+    elif integer:
+        cut = cut_ref[...]
+        for da, dr, dd in offsets:
+            cnt_det = cnt_det + (view(da, dr, dd) * scale
+                                 >= cut).astype(jnp.int32)
+        det = (cnt_det < k) & (cut > 0)
+        det_ref[...] = jnp.where(det, cut, jnp.zeros_like(cut))
+    else:
+        cut = fval(cut_ref[...])
+        scale_f = scale.astype(jnp.float32)
+        ti = pltpu.bitcast(cut / scale_f, jnp.int32)
+        q = pltpu.bitcast(ti + 1, jnp.float32)
+        for delta in (0, -1, -2):
+            c = pltpu.bitcast(ti + delta, jnp.float32)
+            q = jnp.where(c * scale_f >= cut, c, q)
+        for da, dr, dd in offsets:
+            cnt_det = cnt_det + (fval(view(da, dr, dd)) >= q).astype(jnp.int32)
+        det = (cnt_det < k) & (cut > 0.0)
+        det_ref[...] = pltpu.bitcast(
+            jnp.where(det, cut, jnp.zeros_like(cut)), jnp.int32)
+    scale_ref[...] = scale.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfar", "integer", "ref_angle", "guard_angle",
+                     "prepadded_angle", "tile_rows", "interpret", "int_bits"))
+def cfar_3d_pallas_detect(cube: jnp.ndarray,
+                          scale_override: jnp.ndarray | int = 0,
+                          cfar: CfarParams = CfarParams(),
+                          integer: bool = False,
+                          ref_angle: int = 1, guard_angle: int = 0,
+                          prepadded_angle: bool = False,
+                          tile_rows: int = 64, interpret: bool = False,
+                          int_bits: int = 17):
+    """Fused counting-kernel path for the angle-extended 3D CFAR
+    (ops.cfar.cfar_3d with ref_angle > 0): returns (det_cube, scale) with
+    integer decisions bit-exact vs cfar_3d (float decision-equivalent, the
+    2D kernels' contract).  No threshold taps — cfar_3d serves the debug
+    path.  ``prepadded_angle``: the cube carries ref_angle + guard_angle
+    halo planes per side on axis 0 (the sharded beam-halo exchange);
+    interior planes are the CUTs."""
+    if cfar.variant != "os":
+        raise ValueError("3D kernel implements the os variant; use "
+                         "ops.cfar.cfar_3d for ca/go/so")
+    if cfar.scale_mode != "cell":
+        raise ValueError("3D kernel implements per-cell scale")
+    if ref_angle < 1:
+        raise ValueError("use cfar_2d_pallas_detect for ref_angle == 0")
+    ha = ref_angle + guard_angle
+    hr, hd = cfar.halo_range, cfar.halo_doppler
+    integer_in = jnp.issubdtype(cube.dtype, jnp.integer)
+    if integer != integer_in:
+        raise ValueError(f"integer={integer} but cube dtype {cube.dtype}")
+    c32 = (cube.astype(jnp.int32) if integer
+           else jax.lax.bitcast_convert_type(cube.astype(jnp.float32),
+                                             jnp.int32))
+    if prepadded_angle:
+        padded3 = jnp.pad(c32, ((0, 0), (hr, hr), (hd, hd)),
+                          mode=cfar.edge_mode)
+        core3 = c32[ha:-ha]
+    else:
+        padded3 = jnp.pad(c32, ((ha, ha), (hr, hr), (hd, hd)),
+                          mode=cfar.edge_mode)
+        core3 = c32
+    A, R, D = core3.shape
+    offsets = _offsets_3d(cfar, ref_angle, guard_angle)
+    n_ref = len(offsets)
+    rank_idx = min((n_ref * cfar.rank_pct) // 100, n_ref - 1)
+
+    # Flatten (angle, range) into rows, each plane padded to a sublane-
+    # aligned stride so da becomes a constant aligned row offset.
+    rp = R + 2 * hr
+    plane_stride = -(-rp // 8) * 8
+    padded2 = jnp.pad(padded3, ((0, 0), (0, plane_stride - rp), (0, 0))
+                      ).reshape((A + 2 * ha) * plane_stride, D + 2 * hd)
+    core2 = core3.reshape(A * R, D)
+    if R % tile_rows:
+        tile_rows = int(np.gcd(R, tile_rows))
+    so = jnp.asarray(scale_override, jnp.int32).reshape(1)
+
+    block = pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    n_da = 2 * ha + 1
+    det32, scale_out = pl.pallas_call(
+        functools.partial(
+            _kernel_detect_3d, cfar=cfar, integer=integer, offsets=offsets,
+            n_ref=n_ref, rank_idx=rank_idx, tile_rows=tile_rows,
+            rows_per_plane=R, plane_stride=plane_stride, ha=ha,
+            exact_div=int_bits <= 24),
+        grid=(A * R // tile_rows,),
+        in_specs=[
+            block,
+            pl.BlockSpec(((A + 2 * ha) * plane_stride, D + 2 * hd),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[block] * 2,
+        out_shape=[jax.ShapeDtypeStruct((A * R, D), jnp.int32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((n_da * cfar.win_doppler, tile_rows + 2 * hr, D),
+                       jnp.int32),
+        ],
+        # The resident padded cube + rotated copies exceed the 16 MB
+        # default scoped-vmem budget at full size (same situation as the
+        # fused front-end, docs/PERF_LOG.md).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(core2, padded2, so)
+
+    det32 = det32.reshape(A, R, D)
+    scale_out = scale_out.reshape(A, R, D)
+    if integer:
+        return det32.astype(cube.dtype), scale_out
+    return (jax.lax.bitcast_convert_type(det32, jnp.float32),
+            scale_out.astype(jnp.float32))

@@ -356,7 +356,10 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
     fully-fused per-beam Pallas front-end+detect kernel on TPU when
     ``ref_angle == 0`` and fused_detect_supported holds (per-chip speed
     matches tools/array_bench.py's fused figures; dp and the beam shards
-    scale it); the vmapped XLA chain + cfar_3d otherwise.
+    scale it); the vmapped XLA chain + cfar_3d otherwise (for
+    ``ref_angle > 0`` cfar_3d's decision auto-resolves to the
+    angle-extended counting kernel on TPU, fed by this model's beam-halo
+    exchange via ``prepadded_angle``).
 
     Peak grouping follows pipeline.make_array_processor:
     ``peak_group_radius`` per beam (shard-local), ``beam_group_radius``

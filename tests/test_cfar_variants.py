@@ -129,3 +129,47 @@ def test_beamform_feeds_cfar_3d():
     d = np.asarray(det)
     assert d[5, 10, 8] > 0
     assert (d > 0).sum() <= 8  # target (+ possible beam sidelobes) only
+
+
+def test_cfar_3d_pallas_method_matches_xla():
+    """The angle-extended counting kernel (flattened (angle, range)-row
+    layout, ops/cfar_pallas.cfar_3d_pallas_detect) makes identical
+    decisions to the XLA cfar_3d body: det cube and scale bit-equal in
+    integer AND float mode, wrap and reflect edges, with guard planes and
+    a scale override, plus the prepadded-angle (sharded beam-halo)
+    framing."""
+    import dataclasses
+    rng = np.random.default_rng(5)
+    cases = [
+        ((4, 16, 8), CfarParams(ref_range=1, ref_doppler=1, guard_range=1,
+                                guard_doppler=1), 1, 0),
+        ((6, 24, 16), CfarParams(ref_range=2, ref_doppler=2, guard_range=1,
+                                 guard_doppler=1,
+                                 edge_mode="reflect"), 2, 1),
+    ]
+    for (A, R, D), cf, ra, ga in cases:
+        for integer in (True, False):
+            dt = np.int32 if integer else np.float32
+            cube = rng.integers(0, 30000, size=(A, R, D)).astype(dt)
+            for so in (0, 3):
+                d1, _, s1 = C.cfar_3d(cube, so, cfar=cf, integer=integer,
+                                      ref_angle=ra, guard_angle=ga,
+                                      method="xla")
+                d2, t2, s2 = C.cfar_3d(cube, so, cfar=cf, integer=integer,
+                                       ref_angle=ra, guard_angle=ga,
+                                       method="pallas")
+                assert t2 is None
+                assert np.array_equal(np.asarray(d1), np.asarray(d2))
+                assert np.array_equal(np.asarray(s1).astype(np.int32),
+                                      np.asarray(s2).astype(np.int32))
+        ha = ra + ga
+        cube = rng.integers(0, 30000, size=(A, R, D)).astype(np.int32)
+        pre = np.concatenate([cube[-ha:], cube, cube[:ha]], axis=0)
+        d1, _, s1 = C.cfar_3d(pre, 0, cfar=cf, integer=True, ref_angle=ra,
+                              guard_angle=ga, prepadded_angle=True,
+                              method="xla")
+        d2, _, s2 = C.cfar_3d(pre, 0, cfar=cf, integer=True, ref_angle=ra,
+                              guard_angle=ga, prepadded_angle=True,
+                              method="pallas")
+        assert np.array_equal(np.asarray(d1), np.asarray(d2))
+        assert np.array_equal(np.asarray(s1), np.asarray(s2))
