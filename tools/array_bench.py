@@ -40,6 +40,8 @@ def main():
     argv = sys.argv[1:]
     batch_size = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 16
     n_beams = int(argv[argv.index("--beams") + 1]) if "--beams" in argv else 8
+    ref_angle = (int(argv[argv.index("--ref-angle") + 1])
+                 if "--ref-angle" in argv else 0)
     n_elems = n_beams
 
     p = RadarParams()
@@ -64,16 +66,27 @@ def main():
         fn = jax.jit(jax.vmap(proc.jitted, in_axes=(0, None, None)))
         return lambda b: fn(b, jnp.asarray(False), jnp.asarray(0, jnp.int32))
 
-    configs = [
-        ("xla-chain+cfar3d/percell", batched(p, frontend="xla")),
-        ("fused-per-beam/percell", batched(p, frontend="pallas")),
-        ("fused-per-beam/block", batched(p_block, frontend="pallas")),
-        # Production demo config: in-kernel per-beam 2D grouping + cross-
-        # beam grouping (different detection set — no parity probe).
-        ("fused-per-beam/block+grouped", batched(
-            p_block, frontend="pallas", peak_group_radius=2,
-            beam_group_radius=1)),
-    ]
+    if ref_angle > 0:
+        # Angle-extended regime: the cross-beam training set forces the
+        # XLA per-beam chain; the CFAR decision auto-resolves to the 3D
+        # counting kernel (cfar_pallas.cfar_3d_pallas_detect — the only
+        # full-size formulation the chip accepts, docs/PERF_LOG.md).
+        configs = [
+            (f"xla-chain+cfar3d-kernel/ra{ref_angle}",
+             batched(p, frontend="xla", ref_angle=ref_angle)),
+        ]
+    else:
+        configs = [
+            ("xla-chain+cfar3d/percell", batched(p, frontend="xla")),
+            ("fused-per-beam/percell", batched(p, frontend="pallas")),
+            ("fused-per-beam/block", batched(p_block, frontend="pallas")),
+            # Production demo config: in-kernel per-beam 2D grouping +
+            # cross-beam grouping (different detection set — no parity
+            # probe).
+            ("fused-per-beam/block+grouped", batched(
+                p_block, frontend="pallas", peak_group_radius=2,
+                beam_group_radius=1)),
+        ]
 
     def sync(out):
         return np.asarray(out["n_dets"]).sum()
