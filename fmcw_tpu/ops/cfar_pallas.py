@@ -767,9 +767,14 @@ def cfar_3d_pallas_detect(cube: jnp.ndarray,
         ],
         # The resident padded cube + rotated copies exceed the 16 MB
         # default scoped-vmem budget at full size (same situation as the
-        # fused front-end, docs/PERF_LOG.md).
+        # fused front-end, docs/PERF_LOG.md); scale the limit with the
+        # cube so large beam counts fit too (v5e VMEM is 128 MB).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=min(
+                128 * 1024 * 1024,
+                max(64 * 1024 * 1024,
+                    (A + 2 * ha) * plane_stride * (D + 2 * hd) * 4
+                    + 32 * 1024 * 1024))),
         interpret=interpret,
     )(core2, padded2, so)
 
