@@ -173,3 +173,18 @@ def test_cfar_3d_pallas_method_matches_xla():
                               method="pallas")
         assert np.array_equal(np.asarray(d1), np.asarray(d2))
         assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_cfar_3d_pallas_vmap_matches_percube():
+    """The array model vmaps cfar_3d over the frame batch; the kernel
+    dispatch under vmap must equal per-cube calls."""
+    rng = np.random.default_rng(9)
+    cf = CfarParams(ref_range=1, ref_doppler=1, guard_range=1,
+                    guard_doppler=1)
+    cubes = rng.integers(0, 30000, size=(2, 4, 16, 8)).astype(np.int32)
+    f = lambda c: C.cfar_3d(c, 0, cfar=cf, integer=True, ref_angle=1,
+                            guard_angle=0, method="pallas")[0]
+    batched = jax.vmap(f)(cubes)
+    for b in range(2):
+        one = f(cubes[b])
+        assert np.array_equal(np.asarray(batched[b]), np.asarray(one))
