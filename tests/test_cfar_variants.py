@@ -188,3 +188,28 @@ def test_cfar_3d_pallas_vmap_matches_percube():
     for b in range(2):
         one = f(cubes[b])
         assert np.array_equal(np.asarray(batched[b]), np.asarray(one))
+
+
+def test_cfar_3d_pallas_random_geometry_fuzz():
+    """Randomized geometries for the angle-extended kernel: cube/window
+    shapes, guard planes, wrap/reflect edges drawn at random must match
+    the XLA cfar_3d body bit-for-bit in integer mode."""
+    import dataclasses
+    rng = np.random.default_rng(17)
+    for _ in range(5):
+        cf = CfarParams(ref_range=int(rng.integers(1, 3)),
+                        ref_doppler=int(rng.integers(1, 3)),
+                        guard_range=int(rng.integers(0, 2)),
+                        guard_doppler=int(rng.integers(0, 2)),
+                        edge_mode=str(rng.choice(["wrap", "reflect"])))
+        ra, ga = int(rng.integers(1, 3)), int(rng.integers(0, 2))
+        A = int(rng.integers(2 * (ra + ga) + 1, 8))
+        R = int(rng.integers(3, 7)) * 4
+        D = int(rng.choice([8, 16]))
+        cube = rng.integers(0, 30000, size=(A, R, D)).astype(np.int32)
+        d1, _, s1 = C.cfar_3d(cube, 0, cfar=cf, integer=True, ref_angle=ra,
+                              guard_angle=ga, method="xla")
+        d2, _, s2 = C.cfar_3d(cube, 0, cfar=cf, integer=True, ref_angle=ra,
+                              guard_angle=ga, method="pallas")
+        assert np.array_equal(np.asarray(d1), np.asarray(d2)), (cf, ra, ga)
+        assert np.array_equal(np.asarray(s1), np.asarray(s2)), (cf, ra, ga)
