@@ -596,7 +596,8 @@ def make_array_processor(params: RadarParams | None = None,
         cube = jax.vmap(beam_frontend)(br, bi)     # (B, n_range, n_doppler)
         det, _, _ = C.cfar_3d(cube, scale_override, cfar=p.cfar,
                               integer=False, ref_angle=ref_angle,
-                              guard_angle=guard_angle, method=cfar_method)
+                              guard_angle=guard_angle, method=cfar_method,
+                              need_debug=False)
         if peak_group_radius > 0:
             det = jax.vmap(
                 lambda d: C.peak_group(d, radius=peak_group_radius))(det)

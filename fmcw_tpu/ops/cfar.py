@@ -672,10 +672,28 @@ def cfar_1d(x: jnp.ndarray, ref_cells: int = 8, guard_cells: int = 2,
     return jnp.moveaxis(out, -1, axis)
 
 
+def _offsets_3d(cfar: CfarParams, ref_angle: int, guard_angle: int):
+    """Training offsets (da, dr, dd) of cfar_3d's box-minus-guard-box
+    neighborhood, in construction order.  SHARED with the angle-extended
+    counting kernel (cfar_pallas.cfar_3d_pallas_detect) — both gather
+    orders must stay identical for the pinned bit-parity."""
+    offs = []
+    for da in range(-(ref_angle + guard_angle), ref_angle + guard_angle + 1):
+        for d in range(cfar.win_doppler):
+            for r in range(cfar.win_range):
+                if (abs(da) <= guard_angle
+                        and abs(d - cfar.halo_doppler) <= cfar.guard_doppler
+                        and abs(r - cfar.halo_range) <= cfar.guard_range):
+                    continue
+                offs.append((da, r - cfar.halo_range, d - cfar.halo_doppler))
+    return offs
+
+
 def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
             cfar: CfarParams = CfarParams(), integer: bool = False,
             ref_angle: int = 0, guard_angle: int = 0, method: str = "auto",
-            prepadded_angle: bool = False):
+            prepadded_angle: bool = False, need_debug: bool = True,
+            int_bits: int = 17):
     """Angle-bin extension of the 2D CFAR (BASELINE config 4).
 
     ``cube``: (n_angle, n_range, n_doppler) magnitude maps, one per beam.
@@ -695,45 +713,49 @@ def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     applied here (range/Doppler still pad with ``cfar.edge_mode``).  The
     returned maps cover only the interior planes.
 
+    ``need_debug=False`` (ref_angle > 0): the threshold tap is unused —
+    on TPU the decision then auto-routes to the angle-extended counting
+    kernel (the only formulation that fits full-size cubes on-chip,
+    docs/PERF_LOG.md) and ``threshold`` comes back as None, mirroring
+    cfar_2d_auto's contract.  ``int_bits``: upper bound on integer map
+    values, forwarded to the kernel's exact-division gate (like
+    cfar_2d_auto; magnitudes in this framework are <= 17 bits).
+
     Returns (det_cube, threshold, scale) like cfar_2d.
     """
     if prepadded_angle and ref_angle == 0:
         raise ValueError("prepadded_angle needs ref_angle > 0")
     if ref_angle == 0:
         f = lambda m: cfar_2d_auto(m, scale_override, cfar=cfar,
-                                   integer=integer, method=method)
+                                   integer=integer, method=method,
+                                   need_debug=need_debug, int_bits=int_bits)
         return jax.vmap(f)(cube)
 
     if method == "auto":
+        # The kernel takes the override as an SMEM int scalar; map-valued
+        # or float-typed overrides stay on the XLA body.
+        so_ok = (jnp.ndim(scale_override) == 0
+                 and jnp.issubdtype(jnp.asarray(scale_override).dtype,
+                                    jnp.integer))
         method = ("pallas" if cfar.variant == "os"
-                  and cfar.scale_mode == "cell"
-                  and jax.default_backend() == "tpu" else "xla")
+                  and cfar.scale_mode == "cell" and not need_debug
+                  and so_ok and jax.default_backend() == "tpu" else "xla")
     if method == "pallas":
+        if need_debug:
+            raise ValueError("method='pallas' computes no threshold taps; "
+                             "pass need_debug=False or method='xla'")
         # Counting detect kernel on the flattened (angle, range)-row layout
         # (cfar_pallas.cfar_3d_pallas_detect): integer decisions bit-exact
-        # vs the XLA body below, float decision-equivalent; no threshold
-        # taps (None), mirroring cfar_2d_auto's need_debug=False contract.
+        # vs the XLA body below, float decision-equivalent; threshold None.
         from .cfar_pallas import cfar_3d_pallas_detect
         det, scale = cfar_3d_pallas_detect(
             cube, scale_override, cfar=cfar, integer=integer,
             ref_angle=ref_angle, guard_angle=guard_angle,
-            prepadded_angle=prepadded_angle,
+            prepadded_angle=prepadded_angle, int_bits=int_bits,
             interpret=jax.default_backend() != "tpu")
         return det, None, scale
 
-    offs3 = []
-    for da in range(-(ref_angle + guard_angle), ref_angle + guard_angle + 1):
-        for d in range(cfar.win_doppler):
-            for r in range(cfar.win_range):
-                a_dist = abs(da)
-                d_dist = abs(d - (cfar.ref_doppler + cfar.guard_doppler))
-                r_dist = abs(r - (cfar.ref_range + cfar.guard_range))
-                if (a_dist <= guard_angle
-                        and d_dist <= cfar.guard_doppler
-                        and r_dist <= cfar.guard_range):
-                    continue
-                offs3.append((da, r - (cfar.ref_range + cfar.guard_range),
-                              d - (cfar.ref_doppler + cfar.guard_doppler)))
+    offs3 = _offsets_3d(cfar, ref_angle, guard_angle)
     n_ref = len(offs3)
     rank_idx = min((n_ref * cfar.rank_pct) // 100, n_ref - 1)
 

@@ -560,19 +560,8 @@ def cfar_2d_pallas(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
 # Angle-extended (3D) detect kernel: ref_angle > 0 cross-beam training sets
 # ---------------------------------------------------------------------------
 
-def _offsets_3d(cfar: CfarParams, ref_angle: int, guard_angle: int):
-    """Training offsets (da, dr, dd) of ops.cfar.cfar_3d's box-minus-
-    guard-box neighborhood, in its construction order."""
-    offs = []
-    for da in range(-(ref_angle + guard_angle), ref_angle + guard_angle + 1):
-        for d in range(cfar.win_doppler):
-            for r in range(cfar.win_range):
-                if (abs(da) <= guard_angle
-                        and abs(d - cfar.halo_doppler) <= cfar.guard_doppler
-                        and abs(r - cfar.halo_range) <= cfar.guard_range):
-                    continue
-                offs.append((da, r - cfar.halo_range, d - cfar.halo_doppler))
-    return offs
+# Geometry shared with the XLA body: ops.cfar._offsets_3d is the single
+# source of the 3D training-offset order (bit-parity depends on it).
 
 
 def _kernel_detect_3d(cut_ref, padded_ref, so_ref, det_ref, scale_ref,
@@ -728,6 +717,7 @@ def cfar_3d_pallas_detect(cube: jnp.ndarray,
                           mode=cfar.edge_mode)
         core3 = c32
     A, R, D = core3.shape
+    from .cfar import _offsets_3d            # single source of gather order
     offsets = _offsets_3d(cfar, ref_angle, guard_angle)
     n_ref = len(offsets)
     rank_idx = min((n_ref * cfar.rank_pct) // 100, n_ref - 1)
@@ -741,7 +731,16 @@ def cfar_3d_pallas_detect(cube: jnp.ndarray,
     core2 = core3.reshape(A * R, D)
     if R % tile_rows:
         tile_rows = int(np.gcd(R, tile_rows))
-    so = jnp.asarray(scale_override, jnp.int32).reshape(1)
+    so_arr = jnp.asarray(scale_override)
+    if so_arr.ndim != 0:
+        raise ValueError(
+            "cfar_3d_pallas_detect takes a SCALAR scale_override (SMEM); "
+            "map-valued overrides run on the XLA body (method='xla')")
+    if not jnp.issubdtype(so_arr.dtype, jnp.integer):
+        raise ValueError(
+            "cfar_3d_pallas_detect takes an integer scale_override "
+            "(SMEM int32); float overrides run on the XLA body")
+    so = so_arr.astype(jnp.int32).reshape(1)
 
     block = pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -781,6 +780,8 @@ def cfar_3d_pallas_detect(cube: jnp.ndarray,
     det32 = det32.reshape(A, R, D)
     scale_out = scale_out.reshape(A, R, D)
     if integer:
-        return det32.astype(cube.dtype), scale_out
+        # scale in the cube's dtype, matching the XLA body's
+        # scale.astype(cube.dtype).
+        return det32.astype(cube.dtype), scale_out.astype(cube.dtype)
     return (jax.lax.bitcast_convert_type(det32, jnp.float32),
             scale_out.astype(jnp.float32))

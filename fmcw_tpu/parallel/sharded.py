@@ -500,12 +500,14 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
                                       integer=False, ref_angle=ref_angle,
                                       guard_angle=guard_angle,
                                       method=cfar_method,
-                                      prepadded_angle=True)
+                                      prepadded_angle=True,
+                                      need_debug=False)
             else:
                 det, _, _ = C.cfar_3d(cube, scale_override, cfar=p.cfar,
                                       integer=False, ref_angle=ref_angle,
                                       guard_angle=guard_angle,
-                                      method=cfar_method)
+                                      method=cfar_method,
+                                      need_debug=False)
             if peak_group_radius > 0:
                 det = jax.vmap(
                     lambda d: C.peak_group(d, radius=peak_group_radius))(det)

@@ -138,7 +138,6 @@ def test_cfar_3d_pallas_method_matches_xla():
     integer AND float mode, wrap and reflect edges, with guard planes and
     a scale override, plus the prepadded-angle (sharded beam-halo)
     framing."""
-    import dataclasses
     rng = np.random.default_rng(5)
     cases = [
         ((4, 16, 8), CfarParams(ref_range=1, ref_doppler=1, guard_range=1,
@@ -157,7 +156,7 @@ def test_cfar_3d_pallas_method_matches_xla():
                                       method="xla")
                 d2, t2, s2 = C.cfar_3d(cube, so, cfar=cf, integer=integer,
                                        ref_angle=ra, guard_angle=ga,
-                                       method="pallas")
+                                       method="pallas", need_debug=False)
                 assert t2 is None
                 assert np.array_equal(np.asarray(d1), np.asarray(d2))
                 assert np.array_equal(np.asarray(s1).astype(np.int32),
@@ -170,7 +169,7 @@ def test_cfar_3d_pallas_method_matches_xla():
                               method="xla")
         d2, _, s2 = C.cfar_3d(pre, 0, cfar=cf, integer=True, ref_angle=ra,
                               guard_angle=ga, prepadded_angle=True,
-                              method="pallas")
+                              method="pallas", need_debug=False)
         assert np.array_equal(np.asarray(d1), np.asarray(d2))
         assert np.array_equal(np.asarray(s1), np.asarray(s2))
 
@@ -183,7 +182,7 @@ def test_cfar_3d_pallas_vmap_matches_percube():
                     guard_doppler=1)
     cubes = rng.integers(0, 30000, size=(2, 4, 16, 8)).astype(np.int32)
     f = lambda c: C.cfar_3d(c, 0, cfar=cf, integer=True, ref_angle=1,
-                            guard_angle=0, method="pallas")[0]
+                            guard_angle=0, method="pallas", need_debug=False)[0]
     batched = jax.vmap(f)(cubes)
     for b in range(2):
         one = f(cubes[b])
@@ -194,7 +193,6 @@ def test_cfar_3d_pallas_random_geometry_fuzz():
     """Randomized geometries for the angle-extended kernel: cube/window
     shapes, guard planes, wrap/reflect edges drawn at random must match
     the XLA cfar_3d body bit-for-bit in integer mode."""
-    import dataclasses
     rng = np.random.default_rng(17)
     for _ in range(5):
         cf = CfarParams(ref_range=int(rng.integers(1, 3)),
@@ -210,6 +208,42 @@ def test_cfar_3d_pallas_random_geometry_fuzz():
         d1, _, s1 = C.cfar_3d(cube, 0, cfar=cf, integer=True, ref_angle=ra,
                               guard_angle=ga, method="xla")
         d2, _, s2 = C.cfar_3d(cube, 0, cfar=cf, integer=True, ref_angle=ra,
-                              guard_angle=ga, method="pallas")
+                              guard_angle=ga, method="pallas", need_debug=False)
         assert np.array_equal(np.asarray(d1), np.asarray(d2)), (cf, ra, ga)
         assert np.array_equal(np.asarray(s1), np.asarray(s2)), (cf, ra, ga)
+
+
+def test_cfar_3d_pallas_contract_guards():
+    """Review-finding regressions: the kernel path returns scale in the
+    cube's dtype (int16 cubes included), rejects map-valued and float
+    scale overrides with clear errors instead of silently diverging from
+    the XLA body, and method='pallas' without need_debug=False raises
+    (no threshold taps)."""
+    import pytest
+    from fmcw_tpu.ops.cfar_pallas import cfar_3d_pallas_detect
+    rng = np.random.default_rng(23)
+    cf = CfarParams(ref_range=1, ref_doppler=1, guard_range=1,
+                    guard_doppler=1)
+    # Values small enough that the XLA body's est*scale stays in int16
+    # (the kernel computes in int32 either way; framework mags are int32).
+    cube16 = rng.integers(0, 4000, size=(4, 16, 8)).astype(np.int16)
+    d1, _, s1 = C.cfar_3d(cube16, 0, cfar=cf, integer=True, ref_angle=1,
+                          method="xla")
+    d2, t2, s2 = C.cfar_3d(cube16, 0, cfar=cf, integer=True, ref_angle=1,
+                           method="pallas", need_debug=False)
+    assert t2 is None
+    assert np.asarray(s2).dtype == np.asarray(s1).dtype == np.int16
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+    cube = cube16.astype(np.int32)
+    with pytest.raises(ValueError, match="SCALAR scale_override"):
+        cfar_3d_pallas_detect(cube, np.full((4, 16, 8), 3, np.int32),
+                              cfar=cf, integer=True, ref_angle=1,
+                              interpret=True)
+    with pytest.raises(ValueError, match="integer scale_override"):
+        cfar_3d_pallas_detect(cube, np.float32(3.5), cfar=cf, integer=True,
+                              ref_angle=1, interpret=True)
+    with pytest.raises(ValueError, match="threshold taps"):
+        C.cfar_3d(cube, 0, cfar=cf, integer=True, ref_angle=1,
+                  method="pallas")
