@@ -327,8 +327,16 @@ def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     ``prepadded_range=True``: the input already carries halo_range extra rows
     on each side (cross-shard halo exchange); outputs have the unpadded row
     count.
+
+    Integer maps narrower than 32 bits are upcast internally: est*scale
+    would otherwise wrap (e.g. int16 full-scale x scale 6) and silently
+    corrupt decisions.  det_map returns in the input dtype (cut values
+    fit); threshold/scale return int32 for narrow inputs.
     """
     m = mag_map
+    in_dtype = m.dtype
+    if jnp.issubdtype(in_dtype, jnp.integer) and in_dtype.itemsize < 4:
+        m = m.astype(jnp.int32)
     so = jnp.asarray(scale_override)
 
     if cfar.variant == "os":
@@ -368,7 +376,7 @@ def cfar_2d(mag_map: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     scale = jnp.where(so != 0, so, scale).astype(m.dtype)
     threshold = est * scale
     det = jnp.where(cut > threshold, cut, jnp.zeros_like(cut))
-    return det, threshold, scale
+    return det.astype(in_dtype), threshold, scale
 
 
 def _hw_stream_decide_xla(ext, start0, R, D, S, cfar, integer,
@@ -759,6 +767,11 @@ def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     n_ref = len(offs3)
     rank_idx = min((n_ref * cfar.rank_pct) // 100, n_ref - 1)
 
+    in_dtype = cube.dtype
+    if jnp.issubdtype(in_dtype, jnp.integer) and in_dtype.itemsize < 4:
+        # est*scale would wrap in narrow integer dtypes (cfar_2d note).
+        cube = cube.astype(jnp.int32)
+
     ha = ref_angle + guard_angle
     hr, hd = cfar.halo_range, cfar.halo_doppler
     if prepadded_angle:
@@ -809,7 +822,7 @@ def cfar_3d(cube: jnp.ndarray, scale_override: jnp.ndarray | int = 0,
     scale = jnp.where(so != 0, so, scale).astype(cube.dtype)
     threshold = est * scale
     det = jnp.where(cube > threshold, cube, jnp.zeros_like(cube))
-    return det, threshold, scale
+    return det.astype(in_dtype), threshold, scale
 
 
 def peak_group(det_map: jnp.ndarray, radius: int = 1,

@@ -780,8 +780,10 @@ def cfar_3d_pallas_detect(cube: jnp.ndarray,
     det32 = det32.reshape(A, R, D)
     scale_out = scale_out.reshape(A, R, D)
     if integer:
-        # scale in the cube's dtype, matching the XLA body's
-        # scale.astype(cube.dtype).
-        return det32.astype(cube.dtype), scale_out.astype(cube.dtype)
+        # Match the XLA body's dtypes: scale in the cube's dtype, except
+        # narrow integer inputs where both paths compute (and return
+        # scale) in int32 — see cfar_2d's overflow note.
+        sdt = cube.dtype if cube.dtype.itemsize >= 4 else jnp.int32
+        return det32.astype(cube.dtype), scale_out.astype(sdt)
     return (jax.lax.bitcast_convert_type(det32, jnp.float32),
             scale_out.astype(jnp.float32))

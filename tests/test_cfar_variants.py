@@ -224,17 +224,23 @@ def test_cfar_3d_pallas_contract_guards():
     rng = np.random.default_rng(23)
     cf = CfarParams(ref_range=1, ref_doppler=1, guard_range=1,
                     guard_doppler=1)
-    # Values small enough that the XLA body's est*scale stays in int16
-    # (the kernel computes in int32 either way; framework mags are int32).
-    cube16 = rng.integers(0, 4000, size=(4, 16, 8)).astype(np.int16)
+    # Narrow integer cubes upcast internally (est*scale would wrap in
+    # int16 at full scale): det returns int16, scale int32, decisions
+    # identical across methods even at full-scale values.
+    cube16 = rng.integers(0, 30000, size=(4, 16, 8)).astype(np.int16)
     d1, _, s1 = C.cfar_3d(cube16, 0, cfar=cf, integer=True, ref_angle=1,
                           method="xla")
     d2, t2, s2 = C.cfar_3d(cube16, 0, cfar=cf, integer=True, ref_angle=1,
                            method="pallas", need_debug=False)
     assert t2 is None
-    assert np.asarray(s2).dtype == np.asarray(s1).dtype == np.int16
+    assert np.asarray(d1).dtype == np.asarray(d2).dtype == np.int16
+    assert np.asarray(s2).dtype == np.asarray(s1).dtype == np.int32
     assert np.array_equal(np.asarray(d1), np.asarray(d2))
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    # and the upcast really fixed the wrap: the int32 run agrees
+    d32, _, _ = C.cfar_3d(cube16.astype(np.int32), 0, cfar=cf, integer=True,
+                          ref_angle=1, method="xla")
+    assert np.array_equal(np.asarray(d1), np.asarray(d32).astype(np.int16))
 
     cube = cube16.astype(np.int32)
     with pytest.raises(ValueError, match="SCALAR scale_override"):
