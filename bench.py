@@ -156,6 +156,38 @@ def main():
                        out["doppler_bin"][frame][v].tolist(),
                        out["mag"][frame][v].tolist()))
 
+    # Documented float tolerance: the fused kernel's bf16x3 FFTs match XLA
+    # Precision.HIGH's error model at ~1.6e-5 relative on the golden frame
+    # (docs/PERF_LOG.md "Fused Pallas front-end"); 1e-4 gives 6x margin.
+    FLOAT_MAG_RTOL = 1e-4
+
+    def float_gate(out, ref):
+        """Strict float detection-set gate vs the per-cell reference config
+        (frame 0): positions exactly equal — no missing AND no extra
+        detections — and every magnitude within FLOAT_MAG_RTOL.  One
+        allowance: the extractor keeps the top-64 detections of ~750
+        passing cells, so two near-equal noise cells can legitimately swap
+        across the rank-64 cutoff when magnitudes differ at the 1e-5
+        level; positions disagreeing ONLY within tolerance of the cutoff
+        magnitude are accepted (and logged)."""
+        gm = {(r, d): m for r, d, m in det_set(out)}
+        rm = {(r, d): m for r, d, m in det_set(ref)}
+        tol = lambda m: FLOAT_MAG_RTOL * max(abs(m), 1.0)
+        mags_ok = all(abs(gm[k] - rm[k]) <= tol(rm[k])
+                      for k in gm.keys() & rm.keys())
+        diff = gm.keys() ^ rm.keys()
+        if not diff:
+            return mags_ok
+        cutoff = min(min(gm.values(), default=0.0),
+                     min(rm.values(), default=0.0))
+        boundary = all(
+            abs((gm.get(k) if k in gm else rm[k]) - cutoff) <= tol(cutoff)
+            for k in diff)
+        if boundary:
+            log(f"  float gate: {len(diff)} top-64 boundary swaps within "
+                f"rtol of cutoff {cutoff:.1f} (accepted)")
+        return mags_ok and boundary
+
     ref_out = None
     fixed_ref = None
     for name, p_cfg, kw in configs:
@@ -196,21 +228,28 @@ def main():
                 ref_out = out
                 ok = True
             else:
-                v = ref_out["valid"][0]
-                ok = bool(np.array_equal(out["range_bin"][0][v],
-                                         ref_out["range_bin"][0][v]))
-            results[name] = (fps, ok, headline)
+                ok = float_gate(out, ref_out)
+            percell = p_cfg.cfar.scale_mode == "cell" and mode != "fixed"
+            results[name] = (fps, ok, headline, percell)
             log(f"{name}: {fps:.1f} frames/s  detection-parity={ok}")
         except Exception as e:  # pragma: no cover
             log(f"{name}: FAILED {type(e).__name__}: {e}")
 
-    best = max((fps for fps, ok, headline in results.values()
+    best = max((fps for fps, ok, headline, _ in results.values()
                 if ok and headline), default=0.0)
+    # Reference-semantics figure: fastest per-cell adaptive-scale config
+    # (the exact os_cfar_2d.vhd:187-199 classification).  The overall best
+    # rides the block-granular clutter-map scale — a framework extension
+    # with no VHDL counterpart — so the artifact records both.
+    best_percell = max((fps for fps, ok, headline, pc in results.values()
+                        if ok and headline and pc), default=0.0)
     print(json.dumps({
         "metric": "radar frames/s per chip (range-Doppler+CFAR, 1024x128)",
         "value": round(best, 1),
         "unit": "frames/s",
         "vs_baseline": round(best / BASELINE_FPS, 3),
+        "value_percell": round(best_percell, 1),
+        "vs_baseline_percell": round(best_percell / BASELINE_FPS, 3),
     }), flush=True)
 
 

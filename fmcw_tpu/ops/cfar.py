@@ -581,12 +581,22 @@ def cfar_2d_hw_stream(mag_map: jnp.ndarray,
     bit-identical across methods; float mode is decision-equivalent (the
     kernel's adaptive-scale mean uses the separable box tree — the same
     contract as cfar_2d_auto's kernel dispatch).
+
+    Integer maps narrower than 32 bits are upcast internally (cfar_2d
+    note: the 128-view sum_refs and the ceil-division probe would wrap in
+    int16); det_map and new_hist return in the input dtype (cut values
+    fit), threshold/scale return int32 for narrow inputs — the same
+    contract as cfar_2d, and what keeps method='xla' bit-identical to the
+    kernel (which always counts in int32).
     """
     if cfar.scale_mode != "cell":
         raise ValueError("hw-compat streaming CFAR is per-cell by definition")
     R, D = mag_map.shape
     S = R * D
     lag = hw_stream_lag(cfar, D)
+    in_dtype = mag_map.dtype
+    if jnp.issubdtype(in_dtype, jnp.integer) and in_dtype.itemsize < 4:
+        mag_map = mag_map.astype(jnp.int32)
     flat = mag_map.reshape(-1)
     if streaming:
         if hist is None:
@@ -604,14 +614,30 @@ def cfar_2d_hw_stream(mag_map: jnp.ndarray,
     pairs = _hw_stream_offsets(cfar)
 
     if method == "auto":
-        # The counting kernel has no threshold taps and its row-carry
-        # padding assumes a single-row carry (lane halo < D).
+        # The counting kernel has no threshold taps, its row-carry padding
+        # assumes a single-row carry (lane halo < D) with both halos >= 1,
+        # and it takes the override as an SMEM int scalar (map-valued or
+        # float-typed overrides stay on the XLA body — cfar_3d's gate).
+        so_ok = (jnp.ndim(scale_override) == 0
+                 and jnp.issubdtype(jnp.asarray(scale_override).dtype,
+                                    jnp.integer))
         method = ("pallas" if jax.default_backend() == "tpu"
-                  and not need_debug and cfar.halo_range < D else "xla")
+                  and not need_debug and cfar.halo_range < D and so_ok
+                  and min(cfar.halo_range, cfar.halo_doppler) >= 1
+                  else "xla")
     if method == "pallas":
         if need_debug:
             raise ValueError("method='pallas' computes no threshold taps; "
                              "pass need_debug=False or method='xla'")
+        if jnp.ndim(scale_override) != 0 or not jnp.issubdtype(
+                jnp.asarray(scale_override).dtype, jnp.integer):
+            raise ValueError(
+                "method='pallas' takes scale_override as a scalar integer "
+                "(SMEM); use method='xla' for map-valued or float overrides")
+        if min(cfar.halo_range, cfar.halo_doppler) < 1:
+            raise ValueError(
+                "method='pallas' needs both CFAR halos >= 1 (the row-carry "
+                "padding slices one halo per side); use method='xla'")
         d2, s2 = _hw_stream_decide_pallas(ext, start0, R, D, cfar, integer,
                                           jnp.asarray(scale_override))
         det = d2.reshape(-1)
@@ -635,9 +661,10 @@ def cfar_2d_hw_stream(mag_map: jnp.ndarray,
     det = jnp.where(emitted, det, jnp.zeros_like(det))
     if label_roll:
         det = jnp.roll(det, -shift)
-    out = (det.reshape(R, D), threshold.reshape(R, D), scale.reshape(R, D))
+    out = (det.reshape(R, D).astype(in_dtype), threshold.reshape(R, D),
+           scale.reshape(R, D))
     if streaming:
-        return out + (flat[-2 * lag:],)
+        return out + (flat[-2 * lag:].astype(in_dtype),)
     return out
 
 

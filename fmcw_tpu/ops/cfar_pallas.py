@@ -364,9 +364,11 @@ def _prepare(mag_map, scale_override, cfar: CfarParams, integer: bool,
 
     if prepadded_range == "both":
         R = m.shape[0] - 2 * hr
-        padded = m32
-        core = m32[hr:-hr, hd:-hd]
         D = m.shape[1] - 2 * hd
+        padded = m32
+        # Explicit end indices: with hr or hd == 0 (CfarParams permits
+        # ref=guard=0 on an axis) m32[hr:-hr] would be an empty slice.
+        core = m32[hr:m.shape[0] - hr, hd:m.shape[1] - hd]
         if R % tile_rows:
             tile_rows = int(np.gcd(R, tile_rows))
         so = jnp.asarray(scale_override, jnp.int32).reshape(1)
@@ -374,7 +376,7 @@ def _prepare(mag_map, scale_override, cfar: CfarParams, integer: bool,
     if prepadded_range:
         R = m.shape[0] - 2 * hr
         padded = jnp.pad(m32, ((0, 0), (hd, hd)), mode=cfar.edge_mode)
-        core = m32[hr:-hr]
+        core = m32[hr:m.shape[0] - hr]
     else:
         R = m.shape[0]
         padded = jnp.pad(m32, ((hr, hr), (hd, hd)), mode=cfar.edge_mode)

@@ -525,3 +525,71 @@ def test_pallas_method_random_geometry_fuzz():
         lr, ld, lm = fx.os_cfar_2d_hw_stream(f, cfar)
         assert _labeled_dets(det_map) == sorted(
             zip(lr.tolist(), ld.tolist(), lm.tolist())), (rr, rd, gr, gd, R, D)
+
+
+def test_hw_stream_narrow_int_upcast_matches_int32():
+    """int16 magnitude maps must make the same decisions as the int32 view
+    of the same values: sum_refs over 128 int16 views and the ceil-division
+    probe (cut + s - 1) wrap in int16 without the internal upcast (the
+    cfar_2d/cfar_3d hardening, mirrored here — ADVICE r3).  det and
+    new_hist come back in the input dtype; threshold/scale in int32."""
+    from fmcw_tpu.ops import cfar as C
+    cfar, R, D = GEOMETRIES[2]
+    rng = np.random.default_rng(5)
+    # Values near int16 full scale so 128-view sums and cut+s-1 both wrap.
+    f = rng.integers(20000, 32700, size=(2, R, D)).astype(np.int64)
+    f[1, R // 2, D // 2] = 32767
+    lag = fx.hw_stream_lag(cfar, D)
+    hist16 = f[0].reshape(-1)[-2 * lag:].astype(np.int16)
+    for kw in (dict(),
+               dict(streaming=True, first=True),
+               dict(hist=hist16, streaming=True)):
+        for method in ("xla", "pallas"):
+            a = C.cfar_2d_hw_stream(f[1].astype(np.int16), 0, cfar=cfar,
+                                    integer=True, need_debug=False,
+                                    method=method, **kw)
+            kw32 = dict(kw)
+            if "hist" in kw32:
+                kw32["hist"] = hist16.astype(np.int32)
+            b = C.cfar_2d_hw_stream(f[1].astype(np.int32), 0, cfar=cfar,
+                                    integer=True, need_debug=False,
+                                    method=method, **kw32)
+            assert np.asarray(a[0]).dtype == np.int16
+            assert np.array_equal(np.asarray(a[0]).astype(np.int32),
+                                  np.asarray(b[0]))
+            assert np.array_equal(np.asarray(a[2]), np.asarray(b[2]))
+            if len(a) == 4:
+                assert np.asarray(a[3]).dtype == np.int16
+                assert np.array_equal(np.asarray(a[3]).astype(np.int32),
+                                      np.asarray(b[3]))
+
+
+def test_hw_stream_pallas_method_rejects_bad_overrides_and_halos():
+    """method='pallas' raises descriptive errors for overrides the SMEM
+    scalar cannot carry and for zero halos (the row-carry padding slices
+    one halo per side); method='auto' silently falls back to xla in both
+    cases instead of mis-routing (ADVICE r3)."""
+    from fmcw_tpu.ops import cfar as C
+    cfar, R, D = GEOMETRIES[0]
+    f = _stim(R, D, 1, seed=3)[0].astype(np.float32)
+    with pytest.raises(ValueError, match="scalar integer"):
+        C.cfar_2d_hw_stream(f, 2.0, cfar=cfar, integer=False,
+                            need_debug=False, method="pallas")
+    cfar0 = CfarParams(ref_range=0, ref_doppler=2, guard_range=0,
+                       guard_doppler=1)
+    g = _stim(R, D, 1, seed=4)[0].astype(np.int32)
+    with pytest.raises(ValueError, match="halos"):
+        C.cfar_2d_hw_stream(g, 0, cfar=cfar0, integer=True,
+                            need_debug=False, method="pallas")
+    # auto with a float override / zero halo: runs (on the XLA body) and
+    # matches the explicit xla method.
+    a = C.cfar_2d_hw_stream(f, 2.0, cfar=cfar, integer=False,
+                            need_debug=False, method="auto")
+    b = C.cfar_2d_hw_stream(f, 2.0, cfar=cfar, integer=False,
+                            need_debug=False, method="xla")
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    c = C.cfar_2d_hw_stream(g, 0, cfar=cfar0, integer=True,
+                            need_debug=False, method="auto")
+    d = C.cfar_2d_hw_stream(g, 0, cfar=cfar0, integer=True,
+                            need_debug=False, method="xla")
+    assert np.array_equal(np.asarray(c[0]), np.asarray(d[0]))

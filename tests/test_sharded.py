@@ -319,3 +319,57 @@ def test_sharded_array_grouping_matches_single_chip():
             want["range_bin"][want["valid"]].tolist(),
             want["doppler_bin"][want["valid"]].tolist()))
         assert np.array_equal(out["det_cube"][i] > 0, want["det_cube"] > 0)
+
+
+@pytest.mark.slow
+def test_sharded_production_shape_matches_single_chip():
+    """The PRODUCTION shape: 1024x128 — the map size the reference's corner
+    turn is defined at (rtl/src/corner_turner.vhd:29-36, radar_core.vhd:12-14).
+    An sp=4 mesh shards nr_local=256 rows per chip; a divisibility / halo /
+    block-grid bug specific to full-size shards would be invisible at the
+    toy shapes above.  Fixed mode: bit-identical maps + detection-set
+    equality.  Float block+cell with peak grouping: identical decisions."""
+    import dataclasses
+    from fmcw_tpu import RadarParams
+
+    p = RadarParams()                      # 1024x128, production CFAR
+    frames = [ref.two_target_frame(p, seed=s) for s in range(2)]
+    fb = np.stack([pl.complex_to_iq(f) for f in frames])
+    mesh = M.make_mesh(dp=2, sp=4)
+
+    # Fixed mode: the exact-parity invariant at full size.
+    proc = sh.make_sharded_processor(mesh, p, mode="fixed", include_maps=True)
+    out = jax.tree.map(np.asarray, proc(fb))
+    single = jax.tree.map(
+        np.asarray, pl.make_batch_processor(p, mode="fixed",
+                                            include_maps=True)(fb))
+    assert np.array_equal(out["mag_map"], single["mag_map"])
+    assert np.array_equal(out["det_map"], single["det_map"])
+    assert np.array_equal(out["n_dets"], single["n_dets"])
+    v = single["valid"]
+    assert np.array_equal(out["valid"], v)
+    assert np.array_equal(out["range_bin"][v], single["range_bin"][v])
+    assert np.array_equal(out["doppler_bin"][v], single["doppler_bin"][v])
+    assert np.array_equal(out["mag"][v], single["mag"][v])
+
+    # Float32, per-cell and block scale, with peak grouping (the bench's
+    # headline configurations) — identical detection decisions.
+    for scale_mode in ("cell", "block"):
+        pf = p.replace(cfar=dataclasses.replace(p.cfar,
+                                                scale_mode=scale_mode))
+        procf = sh.make_sharded_processor(mesh, pf, mode="float32",
+                                          peak_group_radius=2,
+                                          include_maps=True)
+        outf = jax.tree.map(np.asarray, procf(fb))
+        singlef = jax.tree.map(np.asarray, pl.make_batch_processor(
+            pf, mode="float32", include_maps=True,
+            peak_group_radius=2)(fb))
+        assert np.array_equal(outf["det_map"] > 0, singlef["det_map"] > 0), \
+            scale_mode
+        assert np.array_equal(outf["n_dets"], singlef["n_dets"]), scale_mode
+        vf = singlef["valid"]
+        assert np.array_equal(outf["valid"], vf), scale_mode
+        assert np.array_equal(outf["range_bin"][vf],
+                              singlef["range_bin"][vf]), scale_mode
+        assert np.array_equal(outf["doppler_bin"][vf],
+                              singlef["doppler_bin"][vf]), scale_mode
