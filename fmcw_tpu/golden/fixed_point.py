@@ -143,6 +143,109 @@ def bfp_fft(i: np.ndarray, q: np.ndarray, axis: int = -1):
     return i_out, q_out
 
 
+def bit_reverse_permutation(n: int) -> np.ndarray:
+    """Index permutation ``perm`` with perm[k] = bit-reverse of k (log2 n
+    bits).  Self-inverse."""
+    m = n.bit_length() - 1
+    perm = np.zeros(n, dtype=np.int64)
+    for k in range(n):
+        r = 0
+        for b in range(m):
+            if k >> b & 1:
+                r |= 1 << (m - 1 - b)
+        perm[k] = r
+    return perm
+
+
+def scaled_fft(i: np.ndarray, q: np.ndarray, axis: int = -1,
+               scale_sch=None, output_order: str = "natural"):
+    """Stage-scaled fixed-point FFT — the arithmetic family of the
+    QUICK-mode XFFT variants (xfft_128.xci / xfft_32.xci:
+    scaling_options="scaled", convergent rounding, 16-bit phase factors;
+    xfft_128 emits bit_reversed_order).  Opt-in alternative to the
+    production instances' block-floating-point (``bfp_fft``).
+
+    Defined semantics (a radix-2 DIF network in the XFFT parameter space —
+    the closed IP's internal pipeline is not observable, so these are the
+    framework's pinned semantics, not a bit-parity claim; see
+    docs/design_notes.md §3):
+
+    * radix-2 decimation-in-frequency stages, natural-order input;
+    * butterfly sums exact; the twiddle leg multiplies by Q15 phase factors
+      ``round(32768·e^(-2πik/L))`` clipped to int16, with the trivial
+      ``k = 0`` twiddle bypassed (no multiply — keeps DC/closed-form cases
+      exact) and the product convergent-rounded back by 2^-15;
+    * after each stage both legs are right-shifted by ``scale_sch[stage]``
+      (convergent rounding) and WRAPPED to int16 — scaled XFFT arithmetic
+      wraps on overflow (no saturation);
+    * ``scale_sch``: one shift per stage, stage 0 = the largest-block DIF
+      stage.  None = all zeros — exactly what the reference's config word
+      x"0001" programs (rtl/src/radar_core.vhd:247: FWD=1, SCALE_SCH=0),
+      i.e. NO scaling, wrap on overflow.  [1]*log2(n) gives the
+      conventional overflow-safe-for-most-inputs 1/N scaling.
+    * ``output_order``: "bit_reversed" (the DIF network's native order,
+      xfft_128's configured output) or "natural" (reordered, xfft_32's).
+
+    Returns (i_out, q_out) int64 arrays of int16-ranged values.
+    """
+    ir = np.moveaxis(np.asarray(i, dtype=np.int64), axis, -1).copy()
+    qr = np.moveaxis(np.asarray(q, dtype=np.int64), axis, -1).copy()
+    n = ir.shape[-1]
+    m = n.bit_length() - 1
+    if 1 << m != n:
+        raise ValueError(f"scaled_fft needs a power-of-two length, got {n}")
+    if scale_sch is None:
+        scale_sch = [0] * m
+    if len(scale_sch) != m:
+        raise ValueError(f"scale_sch needs {m} entries, got {len(scale_sch)}")
+
+    def rhe_shift(x, sh):
+        """Convergent (round-half-even) arithmetic right shift by sh."""
+        if sh == 0:
+            return x
+        half = 1 << (sh - 1)
+        fl = x >> sh
+        rem = x - (fl << sh)
+        return fl + (rem > half) + ((rem == half) & (fl & 1 == 1))
+
+    def wrap16(x):
+        return ((x + 32768) & 65535) - 32768
+
+    for s in range(m):
+        L = n >> s
+        h = L >> 1
+        sh = ir.shape[:-1] + (n // L, L)
+        ar, br = ir.reshape(sh)[..., :h], ir.reshape(sh)[..., h:]
+        ai, bi = qr.reshape(sh)[..., :h], qr.reshape(sh)[..., h:]
+        ur, ui = ar + br, ai + bi
+        vr, vi = ar - br, ai - bi
+        k = np.arange(h)
+        ang = -2.0 * np.pi * k / L
+        wr = np.clip(np.rint(32768.0 * np.cos(ang)), -32768, 32767).astype(
+            np.int64)
+        wi = np.clip(np.rint(32768.0 * np.sin(ang)), -32768, 32767).astype(
+            np.int64)
+        tr = rhe_shift(vr * wr - vi * wi, 15)
+        ti = rhe_shift(vr * wi + vi * wr, 15)
+        # k = 0 twiddle bypass: W^0 = 1 exactly (no Q15 product).
+        tr[..., 0] = vr[..., 0]
+        ti[..., 0] = vi[..., 0]
+        ssh = int(scale_sch[s])
+        out_r = np.concatenate([rhe_shift(ur, ssh), rhe_shift(tr, ssh)],
+                               axis=-1)
+        out_i = np.concatenate([rhe_shift(ui, ssh), rhe_shift(ti, ssh)],
+                               axis=-1)
+        ir = wrap16(out_r).reshape(ir.shape)
+        qr = wrap16(out_i).reshape(qr.shape)
+
+    if output_order == "natural":
+        perm = bit_reverse_permutation(n)
+        ir, qr = ir[..., perm], qr[..., perm]
+    elif output_order != "bit_reversed":
+        raise ValueError(output_order)
+    return np.moveaxis(ir, -1, axis), np.moveaxis(qr, -1, axis)
+
+
 # ---------------------------------------------------------------------------
 # MTI notch (rtl/src/doppler_notch.vhd)
 # ---------------------------------------------------------------------------

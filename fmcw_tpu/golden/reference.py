@@ -184,22 +184,38 @@ def _cfar_float(mag: np.ndarray, p: RadarParams, scale_override: int) -> np.ndar
 def process_frame_fixed(frame_iq: np.ndarray, params: RadarParams | None = None,
                         mti_bypass: bool = False, scale_override: int = 0,
                         mti_transient: str = "zero",
-                        window_rounding: str = "unbiased"):
+                        window_rounding: str = "unbiased",
+                        fft: str = "bfp", fft_scale_sch=None):
     """Run the fixed-point chain on one (n_doppler, n_range) complex int frame.
 
     With ``window_rounding="biased"`` and ``mti_transient="passthrough"`` every
     stage is bit-faithful to the reference hardware; the defaults use the
     framework's cleaned-up numerics (see docs/design_notes.md).  Returns
     (mag_map, det_map) int64 arrays of shape (n_range, n_doppler).
+
+    ``fft``: "bfp" (production XFFT block-floating-point) or "scaled" — the
+    QUICK-mode XFFT variants' stage-scaled arithmetic
+    (fixed_point.scaled_fft; natural output order in-chain).
+    ``fft_scale_sch``: optional (range_sch, doppler_sch) pair; None with
+    fft="scaled" uses the conventional [1]*log2(n) per transform.
     """
     p = params or RadarParams()
     z = np.asarray(frame_iq)
     i_v, q_v = z.real.astype(np.int64), z.imag.astype(np.int64)
+    if fft == "scaled":
+        sch = fft_scale_sch or ([1] * (p.n_range.bit_length() - 1),
+                                [1] * (p.n_doppler.bit_length() - 1))
+        fft_r = lambda i, q: fx.scaled_fft(i, q, axis=1, scale_sch=sch[0])
+        fft_d = lambda i, q: fx.scaled_fft(i, q, axis=1, scale_sch=sch[1])
+    elif fft == "bfp":
+        fft_r = fft_d = lambda i, q: fx.bfp_fft(i, q, axis=1)
+    else:
+        raise ValueError(fft)
 
     cr = fx.hamming_coeffs(p.n_range, p.coef_width)
     i_v, q_v, _ = fx.window_apply(i_v, q_v, cr[None, :], p.coef_width,
                                   rounding=window_rounding)
-    i_v, q_v = fx.bfp_fft(i_v, q_v, axis=1)
+    i_v, q_v = fft_r(i_v, q_v)
 
     i_v, q_v = i_v.T, q_v.T  # corner turn -> (n_range, n_doppler)
 
@@ -209,7 +225,7 @@ def process_frame_fixed(frame_iq: np.ndarray, params: RadarParams | None = None,
     cd = fx.hamming_coeffs(p.n_doppler, p.coef_width)
     i_v, q_v, _ = fx.window_apply(i_v, q_v, cd[None, :], p.coef_width,
                                   rounding=window_rounding)
-    i_v, q_v = fx.bfp_fft(i_v, q_v, axis=1)
+    i_v, q_v = fft_d(i_v, q_v)
 
     mag = fx.magnitude(i_v, q_v)
     det = fx.os_cfar_2d(mag, p.cfar, scale_override)

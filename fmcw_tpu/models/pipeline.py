@@ -122,6 +122,17 @@ def fused_fixed_detect_supported(p: RadarParams, peak_group_radius: int = 0,
                  or p.cfar.win_range * p.cfar.win_doppler * 45056 < 2 ** 24))
 
 
+def fused_frontend_supported(p: RadarParams) -> bool:
+    """Can the front-end alone (iq -> magnitude, no detect epilogue) run as
+    the fused Pallas kernel?  Only the Cooley-Tukey shape constraint
+    applies: n_range = n2 * 128 with outer radix n2 <= 16 (or a single
+    slice, n_range <= 128).  Used by the array model's ref_angle > 0 path,
+    where the decision runs in the angle-extended 3D counting kernel on the
+    fused front-end's mag cubes instead of the in-kernel 2D epilogue."""
+    n1 = min(p.n_range, 128)
+    return p.n_range % n1 == 0 and p.n_range // n1 <= 16
+
+
 def fused_detect_frame(p: RadarParams, iq, mti_bypass, scale_override, *,
                        max_dets: int, mti_transient: str = "zero",
                        magnitude_exact: bool = False,
@@ -185,8 +196,21 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
                    include_debug: bool = False,
                    frontend: str = "auto",
                    fuse_detect: bool = True,
-                   cfar_geometry: str = "named") -> Callable:
+                   cfar_geometry: str = "named",
+                   fixed_fft: str = "bfp",
+                   fixed_fft_scale_sch=None) -> Callable:
     """Build the jitted single-frame processor.
+
+    ``fixed_fft`` (mode='fixed' only): "bfp" (default — the production
+    XFFT instances' block-floating-point, golden/fixed_point.bfp_fft) or
+    "scaled" — the QUICK-mode XFFT variants' stage-scaled fixed arithmetic
+    (golden/fixed_point.scaled_fft: radix-2 DIF, Q15 twiddles, convergent
+    rounding, per-stage shifts, int16 wrap on overflow; design_notes §3).
+    ``fixed_fft_scale_sch``: optional (range_sch, doppler_sch) pair of
+    per-stage shift schedules; None = the conventional [1]*log2(n)
+    1/N scaling per transform (pass ([0]*10, [0]*7)-style zeros to model
+    the reference's as-wired x"0001" config word — no scaling, wraps).
+    The scaled option stays on the XLA chain (no fused fixed kernel).
 
     ``cfar_geometry``: "named" (framework default — ref_range/guard_range
     govern the range axis, window wraps per axis) or "hw_stream" — the
@@ -216,6 +240,21 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         raise ValueError(f"cfar_geometry must be 'named' or 'hw_stream', "
                          f"got {cfar_geometry!r}")
     hw_cfar = cfar_geometry == "hw_stream"
+    if fixed_fft not in ("bfp", "scaled"):
+        raise ValueError(f"fixed_fft must be 'bfp' or 'scaled', "
+                         f"got {fixed_fft!r}")
+    if fixed_fft == "scaled":
+        if mode != "fixed":
+            raise ValueError("fixed_fft='scaled' applies to mode='fixed'")
+        if frontend == "pallas":
+            raise ValueError("fixed_fft='scaled' has no fused kernel; use "
+                             "frontend='xla' (or 'auto')")
+    if fixed_fft == "scaled":
+        _sch = fixed_fft_scale_sch or (
+            [1] * (p.n_range.bit_length() - 1),
+            [1] * (p.n_doppler.bit_length() - 1))
+    else:
+        _sch = None
     if hw_cfar and (p.cfar.variant != "os" or p.cfar.scale_mode != "cell"):
         raise ValueError(
             "cfar_geometry='hw_stream' reproduces the as-built hardware "
@@ -328,18 +367,31 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         cr = W.hamming_q15(p.n_range, p.coef_width)
         i_v, q_v, s1 = W.window_apply_fixed(i_v, q_v, cr[None, :],
                                             p.coef_width, window_rounding)
-        re, im = F.fft_apply(i_v.astype(jnp.float32), q_v.astype(jnp.float32),
-                             axis=1, method=fft_method, precision=precision)
-        re, im = F.bfp_quantize(re, im, axis=1)
-        i_v, q_v = re.astype(jnp.int32).T, im.astype(jnp.int32).T
+        if fixed_fft == "scaled":
+            i_v, q_v = F.scaled_fft_apply(i_v, q_v, axis=1,
+                                          scale_sch=tuple(_sch[0]))
+            i_v, q_v = i_v.T, q_v.T
+        else:
+            re, im = F.fft_apply(i_v.astype(jnp.float32),
+                                 q_v.astype(jnp.float32),
+                                 axis=1, method=fft_method,
+                                 precision=precision)
+            re, im = F.bfp_quantize(re, im, axis=1)
+            i_v, q_v = re.astype(jnp.int32).T, im.astype(jnp.int32).T
         i_v, q_v = N.mti_notch_fixed(i_v, q_v, axis=1, mode=p.notch_mode,
                                      bypass=mti_bypass, transient=mti_transient)
         cd = W.hamming_q15(p.n_doppler, p.coef_width)
         i_v, q_v, s2 = W.window_apply_fixed(i_v, q_v, cd[None, :],
                                             p.coef_width, window_rounding)
-        re, im = F.fft_apply(i_v.astype(jnp.float32), q_v.astype(jnp.float32),
-                             axis=1, method=fft_method, precision=precision)
-        re, im = F.bfp_quantize(re, im, axis=1)
+        if fixed_fft == "scaled":
+            re, im = F.scaled_fft_apply(i_v, q_v, axis=1,
+                                        scale_sch=tuple(_sch[1]))
+        else:
+            re, im = F.fft_apply(i_v.astype(jnp.float32),
+                                 q_v.astype(jnp.float32),
+                                 axis=1, method=fft_method,
+                                 precision=precision)
+            re, im = F.bfp_quantize(re, im, axis=1)
         mag = M.magnitude_fixed(re.astype(jnp.int32), im.astype(jnp.int32))
         if cfar_fn is not None:
             det, threshold, scale = cfar_fn(mag)
@@ -514,20 +566,33 @@ def make_array_processor(params: RadarParams | None = None,
     from ..ops import beamform as BF
     max_dets = p.tracker.max_dets
     if frontend == "auto":
+        # ref_angle == 0: the fully-fused per-beam kernel (front-end +
+        # in-kernel 2D decision).  ref_angle > 0: the fused FRONT-END per
+        # beam (detect=False) feeding the angle-extended 3D counting kernel
+        # — the decision spans beams, so it cannot ride the per-beam
+        # epilogue, but the front-end fusion still applies (docs/PERF_LOG.md
+        # round 4: ~3x end-to-end over the XLA per-beam chain).
         frontend = ("pallas" if (jax.default_backend() == "tpu"
-                                 and ref_angle == 0
                                  and fft_method == "matmul"
-                                 and fused_detect_supported(
-                                     p, "float32", peak_group_radius,
-                                     cfar_method))
+                                 and (fused_detect_supported(
+                                          p, "float32", peak_group_radius,
+                                          cfar_method)
+                                      if ref_angle == 0
+                                      else fused_frontend_supported(p)))
                     else "xla")
-    use_fused = frontend == "pallas"
-    if use_fused and not (ref_angle == 0 and fused_detect_supported(
-            p, "float32", peak_group_radius, cfar_method)):
-        raise ValueError(
-            "frontend='pallas' on the array model needs ref_angle == 0 "
-            "(per-beam 2D decisions) and fused-detect-compatible "
-            "CfarParams (fused_detect_supported)")
+    use_fused = frontend == "pallas" and ref_angle == 0
+    use_fused_frontend = frontend == "pallas" and ref_angle > 0
+    if frontend == "pallas":
+        if ref_angle == 0 and not fused_detect_supported(
+                p, "float32", peak_group_radius, cfar_method):
+            raise ValueError(
+                "frontend='pallas' on the array model at ref_angle == 0 "
+                "needs fused-detect-compatible CfarParams "
+                "(fused_detect_supported)")
+        if ref_angle > 0 and not fused_frontend_supported(p):
+            raise ValueError(
+                "frontend='pallas' at ref_angle > 0 needs the fused "
+                "front-end shape (n_range = n2*128, n2 <= 16)")
 
     @jax.jit
     def _process(iq, mti_bypass, scale_override):
@@ -555,19 +620,29 @@ def make_array_processor(params: RadarParams | None = None,
             out = {"saturation_count": jnp.int32(0),
                    "nonfinite_count": jnp.sum(nf).astype(jnp.int32)}
             if beam_group_radius > 0:
-                # Cross-beam grouping needs the de-interleaved cubes; the
-                # kernel's row maxes are stale after it, so extraction runs
-                # a plain flat top-K on the grouped cube.
-                det = jnp.swapaxes(det_s, 1, 2).reshape(
-                    n_beams, p.n_range, p.n_doppler)
-                det = C.peak_group_beams(det, radius=beam_group_radius)
-                flat = det.reshape(n_beams * p.n_range, p.n_doppler)
-                out.update(DET.topk_detections(flat, max_dets=max_dets))
-                out["beam_bin"] = out["range_bin"] // p.n_range
-                out["range_bin"] = out["range_bin"] % p.n_range
+                # Cross-beam grouping compares the SAME cell across beams,
+                # and the sliced layout is one fixed permutation shared by
+                # every beam — so it runs directly on the det slices (no
+                # de-interleave transpose).  The kernel's row maxes are
+                # stale after grouping; one lane-reduce recomputes them and
+                # the extraction keeps the row-select reduction
+                # (docs/PERF_LOG.md round 4).
+                det_g = C.peak_group_beams(
+                    det_s.reshape(n_beams, n2 * n1, p.n_doppler),
+                    radius=beam_group_radius)
+                flat = det_g.reshape(n_beams * n2 * n1, p.n_doppler)
+                out.update(DET.topk_detections(
+                    flat, max_dets=max_dets, row_max=jnp.max(flat, axis=1)))
+                row = out["range_bin"]
+                sl = n2 * n1
+                out["beam_bin"] = row // sl
+                r = row % sl
+                out["range_bin"] = (r % n1) * n2 + r // n1
                 if include_maps:
                     out["mag_cube"] = mag_s
-                    out["det_cube"] = det
+                    out["det_cube"] = jnp.swapaxes(
+                        det_g.reshape(n_beams, n2, n1, p.n_doppler),
+                        1, 2).reshape(n_beams, p.n_range, p.n_doppler)
                 return out
             flat = det_s.reshape(n_beams * n2 * n1, p.n_doppler)
             out.update(DET.topk_detections(flat, max_dets=max_dets,
@@ -584,16 +659,30 @@ def make_array_processor(params: RadarParams | None = None,
                     n_beams, p.n_range, p.n_doppler)
             return out
 
-        def beam_frontend(re1, im1):
-            re2, im2 = F.fft_apply(re1, im1, axis=1, window=True,
-                                   method=fft_method, precision=precision)
-            re3, im3 = F.doppler_apply(re2, im2, axis=0, bypass=mti_bypass,
-                                       notch_mode=p.notch_mode,
-                                       transient=mti_transient,
-                                       precision=precision)
-            return M.magnitude_float(re3, im3, exact=magnitude_exact)
+        if use_fused_frontend:
+            # ref_angle > 0: fused Pallas front-end per beam (iq -> mag in
+            # VMEM, detect=False), decision in the angle-extended 3D
+            # counting kernel below (cfar_3d method='auto' resolves to it
+            # on TPU).
+            from ..ops.frontend_pallas import rdm_frontend
+            biq = jnp.stack([br, bi], axis=-1)      # (B, nd, nr, 2) f32
+            cube = jax.vmap(
+                lambda x: rdm_frontend(
+                    x, mti_bypass, notch_mode=p.notch_mode,
+                    transient=mti_transient, exact_mag=magnitude_exact,
+                    interpret=jax.default_backend() != "tpu"))(biq)
+        else:
+            def beam_frontend(re1, im1):
+                re2, im2 = F.fft_apply(re1, im1, axis=1, window=True,
+                                       method=fft_method, precision=precision)
+                re3, im3 = F.doppler_apply(re2, im2, axis=0,
+                                           bypass=mti_bypass,
+                                           notch_mode=p.notch_mode,
+                                           transient=mti_transient,
+                                           precision=precision)
+                return M.magnitude_float(re3, im3, exact=magnitude_exact)
 
-        cube = jax.vmap(beam_frontend)(br, bi)     # (B, n_range, n_doppler)
+            cube = jax.vmap(beam_frontend)(br, bi)  # (B, n_range, n_doppler)
         det, _, _ = C.cfar_3d(cube, scale_override, cfar=p.cfar,
                               integer=False, ref_angle=ref_angle,
                               guard_angle=guard_angle, method=cfar_method,

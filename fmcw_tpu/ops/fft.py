@@ -246,3 +246,98 @@ def bfp_quantize(re: jnp.ndarray, im: jnp.ndarray, axis: int):
         return jnp.clip(v, -32768.0, 32767.0)
 
     return q(re), q(im)
+
+
+def scaled_fft_apply(re: jnp.ndarray, im: jnp.ndarray, axis: int,
+                     scale_sch=None, output_order: str = "natural"):
+    """Stage-scaled fixed-point FFT along ``axis`` — the JAX twin of
+    golden/fixed_point.scaled_fft (the QUICK-mode XFFT variants' "scaled"
+    arithmetic: radix-2 DIF, Q15 twiddles with the k=0 bypass, convergent
+    rounding, per-stage scale_sch shifts, int16 WRAP on overflow;
+    xfft_128.xci / design_notes §3).  Bit-exact vs the golden model
+    (tests/test_scaled_fft.py), including wraps.
+
+    Inputs/outputs are int16-ranged integer values carried in int32 arrays
+    (any integer or float dtype in; int32 out).  The 33-bit twiddle
+    products are computed exactly in int32 by an 8-bit twiddle split —
+    no int64 anywhere, so the op runs unchanged on TPU.
+    """
+    ir = jnp.moveaxis(jnp.asarray(re), axis, -1).astype(jnp.int32)
+    qr = jnp.moveaxis(jnp.asarray(im), axis, -1).astype(jnp.int32)
+    n = ir.shape[-1]
+    m = n.bit_length() - 1
+    if 1 << m != n:
+        raise ValueError(f"scaled_fft_apply needs a power-of-two length, "
+                         f"got {n}")
+    if scale_sch is None:
+        scale_sch = [0] * m
+    if len(scale_sch) != m:
+        raise ValueError(f"scale_sch needs {m} entries, got {len(scale_sch)}")
+
+    def rhe_shift(x, sh):
+        if sh == 0:
+            return x
+        half = 1 << (sh - 1)
+        fl = x >> sh
+        rem = x - (fl << sh)
+        return fl + (rem > half).astype(jnp.int32) \
+            + ((rem == half) & (fl & 1 == 1)).astype(jnp.int32)
+
+    def wrap16(x):
+        return ((x + 32768) & 65535) - 32768
+
+    def tw_mul(vr, vi, wr_h, wr_l, wi_h, wi_l):
+        """Exact convergent-rounded Q15 complex twiddle product in int32:
+        w split as w = w_h*2^8 + w_l (w_l in [0,256)); |v| <= 2^16, so
+        v*w_h <= 2^24 and v*w_l <= 2^24 stay exact; the >>15 rounding is
+        recomposed from the two partial sums without forming the 33-bit
+        total."""
+        def part(s_h, s_l):
+            q0 = s_l >> 8
+            r0 = s_l - (q0 << 8)                    # in [0, 256)
+            u = s_h + q0
+            fl = u >> 7
+            rem = ((u & 127) << 8) + r0             # total mod 2^15
+            return fl + (rem > 16384).astype(jnp.int32) \
+                + ((rem == 16384) & (fl & 1 == 1)).astype(jnp.int32)
+        tr = part(vr * wr_h - vi * wi_h, vr * wr_l - vi * wi_l)
+        ti = part(vr * wi_h + vi * wr_h, vr * wi_l + vi * wr_l)
+        return tr, ti
+
+    for s in range(m):
+        L = n >> s
+        h = L >> 1
+        sh = ir.shape[:-1] + (n // L, L)
+        i2, q2 = ir.reshape(sh), qr.reshape(sh)
+        ar, br = i2[..., :h], i2[..., h:]
+        ai, bi = q2[..., :h], q2[..., h:]
+        ur, ui = ar + br, ai + bi
+        vr, vi = ar - br, ai - bi
+        k = np.arange(h)
+        ang = -2.0 * np.pi * k / L
+        wr = np.clip(np.rint(32768.0 * np.cos(ang)), -32768, 32767)
+        wi = np.clip(np.rint(32768.0 * np.sin(ang)), -32768, 32767)
+        wr_h, wr_l = (wr.astype(np.int64) >> 8), (wr.astype(np.int64) & 255)
+        wi_h, wi_l = (wi.astype(np.int64) >> 8), (wi.astype(np.int64) & 255)
+        as32 = lambda a: jnp.asarray(a, jnp.int32)
+        tr, ti = tw_mul(vr, vi, as32(wr_h), as32(wr_l),
+                        as32(wi_h), as32(wi_l))
+        # k = 0 twiddle bypass (W^0 = 1 exactly).
+        k0 = jnp.asarray(k == 0)
+        tr = jnp.where(k0, vr, tr)
+        ti = jnp.where(k0, vi, ti)
+        ssh = int(scale_sch[s])
+        ir = wrap16(jnp.concatenate(
+            [rhe_shift(ur, ssh), rhe_shift(tr, ssh)], axis=-1)).reshape(
+                ir.shape)
+        qr = wrap16(jnp.concatenate(
+            [rhe_shift(ui, ssh), rhe_shift(ti, ssh)], axis=-1)).reshape(
+                qr.shape)
+
+    if output_order == "natural":
+        from ..golden.fixed_point import bit_reverse_permutation
+        perm = jnp.asarray(bit_reverse_permutation(n))
+        ir, qr = ir[..., perm], qr[..., perm]
+    elif output_order != "bit_reversed":
+        raise ValueError(output_order)
+    return jnp.moveaxis(ir, -1, axis), jnp.moveaxis(qr, -1, axis)

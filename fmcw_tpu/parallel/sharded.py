@@ -397,20 +397,30 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
             f"local beam extent (n_beams/sp = {bl})")
     max_dets = p.tracker.max_dets
     if frontend == "auto":
+        # Same resolution as pipeline.make_array_processor: fully-fused
+        # per-beam kernel at ref_angle == 0; fused FRONT-END (detect=False)
+        # feeding the angle-extended 3D counting kernel at ref_angle > 0.
         frontend = ("pallas" if (jax.default_backend() == "tpu"
-                                 and ref_angle == 0
                                  and fft_method == "matmul"
-                                 and PL.fused_detect_supported(
-                                     p, "float32", peak_group_radius,
-                                     cfar_method))
+                                 and (PL.fused_detect_supported(
+                                          p, "float32", peak_group_radius,
+                                          cfar_method)
+                                      if ref_angle == 0
+                                      else PL.fused_frontend_supported(p)))
                     else "xla")
-    use_fused = frontend == "pallas"
-    if use_fused and not (ref_angle == 0 and PL.fused_detect_supported(
-            p, "float32", peak_group_radius, cfar_method)):
-        raise ValueError(
-            "frontend='pallas' on the array model needs ref_angle == 0 "
-            "(per-beam 2D decisions) and fused-detect-compatible CfarParams "
-            "(pipeline.fused_detect_supported)")
+    use_fused = frontend == "pallas" and ref_angle == 0
+    use_fused_frontend = frontend == "pallas" and ref_angle > 0
+    if frontend == "pallas":
+        if ref_angle == 0 and not PL.fused_detect_supported(
+                p, "float32", peak_group_radius, cfar_method):
+            raise ValueError(
+                "frontend='pallas' on the array model at ref_angle == 0 "
+                "needs fused-detect-compatible CfarParams "
+                "(pipeline.fused_detect_supported)")
+        if ref_angle > 0 and not PL.fused_frontend_supported(p):
+            raise ValueError(
+                "frontend='pallas' at ref_angle > 0 needs the fused "
+                "front-end shape (n_range = n2*128, n2 <= 16)")
 
     def frame_fn(iq, mti_bypass, scale_override):
         """Per-(dp, sp) shard single-cube body.  iq local shape:
@@ -454,16 +464,27 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
             n1 = min(p.n_range, 128)
             nonfinite = jnp.sum(nf).astype(jnp.int32)
             if beam_group_radius > 0:
-                det = jnp.swapaxes(det_s, 1, 2).reshape(
-                    bl, p.n_range, p.n_doppler)
-                det = _beam_group(det)
-                flat = det.reshape(bl * p.n_range, p.n_doppler)
-                local = DET.topk_detections(flat, max_dets=max_dets)
-                local_b = local["range_bin"] // p.n_range + sp_idx * bl
-                local_r = local["range_bin"] % p.n_range
+                # Cross-beam grouping compares the same cell across beams;
+                # the sliced layout is a shared permutation, so grouping
+                # (and the halo ring inside _beam_group) runs on the det
+                # slices directly — no de-interleave.  Row maxes are
+                # recomputed post-group so extraction keeps the row-select
+                # reduction (pipeline.make_array_processor, PERF_LOG r4).
+                det_g = _beam_group(
+                    det_s.reshape(bl, n2 * n1, p.n_doppler))
+                flat = det_g.reshape(bl * n2 * n1, p.n_doppler)
+                local = DET.topk_detections(
+                    flat, max_dets=max_dets, row_max=jnp.max(flat, axis=1))
+                row = local["range_bin"]
+                sl = n2 * n1
+                local_b = row // sl + sp_idx * bl
+                r = row % sl
+                local_r = (r % n1) * n2 + r // n1      # de-interleave
                 if include_maps:
                     maps["mag_cube"] = mag_s
-                    maps["det_cube"] = det
+                    maps["det_cube"] = jnp.swapaxes(
+                        det_g.reshape(bl, n2, n1, p.n_doppler),
+                        1, 2).reshape(bl, p.n_range, p.n_doppler)
             else:
                 flat = det_s.reshape(bl * n2 * n1, p.n_doppler)
                 local = DET.topk_detections(flat, max_dets=max_dets,
@@ -479,17 +500,29 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
                     maps["det_cube"] = jnp.swapaxes(det_s, 1, 2).reshape(
                         bl, p.n_range, p.n_doppler)
         else:
-            def beam_frontend(re1, im1):
-                re2, im2 = F.fft_apply(re1, im1, axis=1, window=True,
-                                       method=fft_method, precision=precision)
-                re3, im3 = F.doppler_apply(re2, im2, axis=0,
-                                           bypass=mti_bypass,
-                                           notch_mode=p.notch_mode,
-                                           transient=mti_transient,
+            if use_fused_frontend:
+                # ref_angle > 0: fused Pallas front-end per local beam, the
+                # 3D decision (with the beam-plane halo) below.
+                from ..ops.frontend_pallas import rdm_frontend
+                biq = jnp.stack([br, bi], axis=-1)     # (bl, nd, nr, 2) f32
+                cube = jax.vmap(
+                    lambda x: rdm_frontend(
+                        x, mti_bypass, notch_mode=p.notch_mode,
+                        transient=mti_transient, exact_mag=magnitude_exact,
+                        interpret=jax.default_backend() != "tpu"))(biq)
+            else:
+                def beam_frontend(re1, im1):
+                    re2, im2 = F.fft_apply(re1, im1, axis=1, window=True,
+                                           method=fft_method,
                                            precision=precision)
-                return M.magnitude_float(re3, im3, exact=magnitude_exact)
+                    re3, im3 = F.doppler_apply(re2, im2, axis=0,
+                                               bypass=mti_bypass,
+                                               notch_mode=p.notch_mode,
+                                               transient=mti_transient,
+                                               precision=precision)
+                    return M.magnitude_float(re3, im3, exact=magnitude_exact)
 
-            cube = jax.vmap(beam_frontend)(br, bi)     # (bl, nr, nd)
+                cube = jax.vmap(beam_frontend)(br, bi)     # (bl, nr, nd)
             nonfinite = jnp.sum(~jnp.isfinite(cube)).astype(jnp.int32)
             if ref_angle > 0 and sp > 1:
                 # Cross-beam training set: ring-exchange the neighbor

@@ -90,10 +90,71 @@ def test_fused_frontend_matches_xla_chain():
     scale = float(np.abs(a["mag_cube"]).max())
     assert np.max(np.abs(a["mag_cube"] - b["mag_cube"])) / scale < 2e-4
 
-    # The fused path needs per-beam 2D decisions: ref_angle > 0 must refuse.
-    with pytest.raises(ValueError, match="ref_angle"):
-        pl.make_array_processor(P, n_elems=N_ELEMS, n_beams=N_BEAMS,
-                                ref_angle=1, frontend="pallas")
+    # Unsupported front-end shapes still refuse the explicit fused path at
+    # ref_angle > 0 (192 is not 128-sliceable: n1 = 128, 192 % 128 != 0).
+    with pytest.raises(ValueError, match="front-end shape"):
+        pl.make_array_processor(P.replace(n_range=192), n_elems=N_ELEMS,
+                                n_beams=N_BEAMS, ref_angle=1,
+                                frontend="pallas")
+
+
+def test_fused_frontend_ref_angle_matches_xla_chain():
+    """ref_angle > 0 with frontend='pallas': the fused Pallas FRONT-END
+    (detect=False) feeds the angle-extended 3D CFAR — same decisions as the
+    XLA per-beam chain up to bf16x3/HIGHEST near-tie flips (the r4 perf
+    route for the angle-extended regime, docs/PERF_LOG.md)."""
+    iq = _element_frames(0.4, seed=13)
+    kw = dict(n_elems=N_ELEMS, n_beams=N_BEAMS, ref_angle=1, guard_angle=0)
+    a = jax.tree.map(np.asarray, pl.make_array_processor(
+        P, frontend="xla", **kw)(iq))
+    b = jax.tree.map(np.asarray, pl.make_array_processor(
+        P, frontend="pallas", **kw)(iq))
+    da = set(zip(a["beam_bin"][a["valid"]].tolist(),
+                 a["range_bin"][a["valid"]].tolist(),
+                 a["doppler_bin"][a["valid"]].tolist()))
+    db = set(zip(b["beam_bin"][b["valid"]].tolist(),
+                 b["range_bin"][b["valid"]].tolist(),
+                 b["doppler_bin"][b["valid"]].tolist()))
+    assert da and db
+    assert len(da ^ db) <= max(2, len(da) // 8)       # near-tie flips only
+    assert (int(a["beam_bin"][0]), int(a["range_bin"][0]),
+            int(a["doppler_bin"][0])) == (int(b["beam_bin"][0]),
+                                          int(b["range_bin"][0]),
+                                          int(b["doppler_bin"][0]))
+    scale = float(np.abs(a["mag_cube"]).max())
+    assert np.max(np.abs(a["mag_cube"] - b["mag_cube"])) / scale < 2e-4
+
+
+def test_grouped_sliced_topk_matches_deinterleaved():
+    """The grouped fused extraction (beam grouping on the SLICED det layout
+    + recomputed row maxes + row-select top-K, PERF_LOG r4) is exactly
+    equivalent to de-interleaving first and running the flat top-K — same
+    kernel outputs, so set equality is exact, not tolerance-bound."""
+    from fmcw_tpu.ops import cfar as C, detect as DET
+    from fmcw_tpu.ops.frontend_pallas import rdm_frontend
+    from fmcw_tpu.ops.beamform import beamform
+    import jax.numpy as jnp
+
+    iq = _element_frames(0.25, seed=17)
+    out = jax.tree.map(np.asarray, pl.make_array_processor(
+        P, frontend="pallas", n_elems=N_ELEMS, n_beams=N_BEAMS,
+        peak_group_radius=2, beam_group_radius=1, include_maps=True)(iq))
+    # Recompose the old formulation from the model's own det cube (the
+    # de-interleaved GROUPED cube is returned in det_cube).
+    det = jnp.asarray(out["det_cube"])
+    flat = det.reshape(N_BEAMS * P.n_range, P.n_doppler)
+    want = jax.tree.map(np.asarray,
+                        DET.topk_detections(flat, max_dets=64))
+    got = set(zip(out["beam_bin"][out["valid"]].tolist(),
+                  out["range_bin"][out["valid"]].tolist(),
+                  out["doppler_bin"][out["valid"]].tolist(),
+                  out["mag"][out["valid"]].tolist()))
+    exp = set(zip((want["range_bin"][want["valid"]] // P.n_range).tolist(),
+                  (want["range_bin"][want["valid"]] % P.n_range).tolist(),
+                  want["doppler_bin"][want["valid"]].tolist(),
+                  want["mag"][want["valid"]].tolist()))
+    assert got == exp
+    assert int(out["n_dets"]) == int(want["n_dets"])
 
 
 def test_angle_extended_training_window():

@@ -373,3 +373,52 @@ def test_sharded_production_shape_matches_single_chip():
                               singlef["range_bin"][vf]), scale_mode
         assert np.array_equal(outf["doppler_bin"][vf],
                               singlef["doppler_bin"][vf]), scale_mode
+
+
+def test_sharded_array_fused_frontend_ref_angle():
+    """Beam-sharded mesh with the r4 fused FRONT-END at ref_angle=1
+    (frontend='pallas', interpret on CPU): identical detection sets and
+    counts vs the single-chip array model running the SAME front-end (both
+    sides bf16x3, so parity is exact, not SNR-bound)."""
+    p = _array_params()
+    n_elems = n_beams = 8
+    batch = _element_batch(p, n_elems, 2, seed0=31)
+    kw = dict(n_elems=n_elems, n_beams=n_beams, ref_angle=1, guard_angle=0,
+              frontend="pallas")
+    mesh = M.make_mesh(dp=2, sp=4)
+    proc = sh.make_sharded_array_processor(mesh, p, include_maps=True, **kw)
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = pl.make_array_processor(p, include_maps=True, **kw)
+    for i in range(batch.shape[0]):
+        want = jax.tree.map(np.asarray, single(batch[i]))
+        assert out["n_dets"][i] == want["n_dets"]
+        assert _dets3(out, i) == set(zip(
+            want["beam_bin"][want["valid"]].tolist(),
+            want["range_bin"][want["valid"]].tolist(),
+            want["doppler_bin"][want["valid"]].tolist()))
+        assert _dets3(out, i)           # nonempty
+        np.testing.assert_array_equal(out["mag_cube"][i], want["mag_cube"])
+        assert np.array_equal(out["det_cube"][i] > 0, want["det_cube"] > 0)
+
+
+def test_sharded_array_grouped_sliced_matches_single_chip():
+    """The r4 grouped fused extraction (beam grouping on the sliced layout,
+    recomputed row maxes) on the beam-sharded mesh: detection sets equal
+    the single-chip fused model's, including the cross-shard beam halos."""
+    p = _array_params()
+    n_elems = n_beams = 8
+    batch = _element_batch(p, n_elems, 2, seed0=37)
+    kw = dict(n_elems=n_elems, n_beams=n_beams, peak_group_radius=2,
+              beam_group_radius=1, frontend="pallas")
+    mesh = M.make_mesh(dp=1, sp=4)
+    proc = sh.make_sharded_array_processor(mesh, p, include_maps=True, **kw)
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = pl.make_array_processor(p, include_maps=True, **kw)
+    for i in range(batch.shape[0]):
+        want = jax.tree.map(np.asarray, single(batch[i]))
+        assert out["n_dets"][i] == want["n_dets"]
+        assert _dets3(out, i) == set(zip(
+            want["beam_bin"][want["valid"]].tolist(),
+            want["range_bin"][want["valid"]].tolist(),
+            want["doppler_bin"][want["valid"]].tolist()))
+        assert np.array_equal(out["det_cube"][i], want["det_cube"])
