@@ -49,14 +49,25 @@ def frontend_kernel_supported(p: RadarParams) -> bool:
                                 and p.n_range // 128 <= 16)
 
 
+def _doppler_split(p: RadarParams) -> int:
+    """Parity-plane count of the kernel's long-CPI Doppler split (n2d):
+    n_doppler/128 when that divides evenly, else 1 (the dense fused
+    slow-time operator handles any n_doppler)."""
+    if p.n_doppler > 128 and p.n_doppler % 128 == 0:
+        return p.n_doppler // 128
+    return 1
+
+
 def kernel_scale_supported(p: RadarParams) -> bool:
     """Can the fused front-end kernel emit the clutter-map (block) scale?
-    (Block grid must line up with its n2-slice layout; wrap edges.)"""
+    (Block grid must line up with its n2-slice layout — and with the
+    long-CPI parity planes when n_doppler > 128; wrap edges.)"""
     return (frontend_kernel_supported(p)
             and p.cfar.scale_mode == "block"
             and p.cfar.edge_mode == "wrap" and p.n_range > 128
             and p.cfar.scale_block == p.n_range // 128
-            and p.n_doppler % p.cfar.scale_block == 0)
+            and p.n_doppler % p.cfar.scale_block == 0
+            and p.cfar.scale_block % _doppler_split(p) == 0)
 
 
 def kernel_percell_supported(p: RadarParams) -> bool:
@@ -172,14 +183,19 @@ def fused_detect_frame(p: RadarParams, iq, mti_bypass, scale_override, *,
         interpret=interp, cfar=p.cfar,
         detect=True, scale_override=scale_override,
         emit_mag=include_maps, peak_group_radius=peak_group_radius)
+    n2 = max(p.n_range // 128, 1)
+    n2d = det_s.shape[0] // n2       # > 1 on the long-CPI Doppler split
     out = DET.topk_detections_sliced(det_s, max_dets=max_dets,
-                                     row_max=row_max, n_dets=n_dets)
+                                     row_max=row_max, n_dets=n_dets,
+                                     n2d=n2d)
     out["saturation_count"] = jnp.int32(0)
     out["nonfinite_count"] = nonfinite
     if include_maps:
         out["mag_map"] = mag
-        out["det_map"] = jnp.swapaxes(det_s, 0, 1).reshape(
-            p.n_range, p.n_doppler)
+        ndl = p.n_doppler // n2d
+        out["det_map"] = jnp.transpose(
+            det_s.reshape(n2, n2d, min(p.n_range, 128), ndl),
+            (2, 0, 3, 1)).reshape(p.n_range, p.n_doppler)
     return out
 
 
@@ -617,6 +633,27 @@ def make_array_processor(params: RadarParams | None = None,
                     emit_mag=include_maps))(biq)
             n2 = max(p.n_range // 128, 1)
             n1 = min(p.n_range, 128)
+            n2d = det_s.shape[1] // n2    # long-CPI Doppler parity planes
+            ndl = p.n_doppler // n2d
+            sl = n2 * n2d * n1            # sliced rows per beam
+
+            def remap(out):
+                row = out["range_bin"]
+                out["beam_bin"] = row // sl
+                r = row % sl
+                plane = r // n1
+                out["range_bin"] = (r % n1) * n2 + plane // n2d
+                if n2d > 1:
+                    out["doppler_bin"] = (out["doppler_bin"] * n2d
+                                          + plane % n2d)
+                return out
+
+            def cube(planes):
+                return jnp.transpose(
+                    planes.reshape(n_beams, n2, n2d, n1, ndl),
+                    (0, 3, 1, 4, 2)).reshape(n_beams, p.n_range,
+                                             p.n_doppler)
+
             out = {"saturation_count": jnp.int32(0),
                    "nonfinite_count": jnp.sum(nf).astype(jnp.int32)}
             if beam_group_radius > 0:
@@ -628,35 +665,24 @@ def make_array_processor(params: RadarParams | None = None,
                 # the extraction keeps the row-select reduction
                 # (docs/PERF_LOG.md round 4).
                 det_g = C.peak_group_beams(
-                    det_s.reshape(n_beams, n2 * n1, p.n_doppler),
+                    det_s.reshape(n_beams, sl, ndl),
                     radius=beam_group_radius)
-                flat = det_g.reshape(n_beams * n2 * n1, p.n_doppler)
+                flat = det_g.reshape(n_beams * sl, ndl)
                 out.update(DET.topk_detections(
                     flat, max_dets=max_dets, row_max=jnp.max(flat, axis=1)))
-                row = out["range_bin"]
-                sl = n2 * n1
-                out["beam_bin"] = row // sl
-                r = row % sl
-                out["range_bin"] = (r % n1) * n2 + r // n1
+                remap(out)
                 if include_maps:
                     out["mag_cube"] = mag_s
-                    out["det_cube"] = jnp.swapaxes(
-                        det_g.reshape(n_beams, n2, n1, p.n_doppler),
-                        1, 2).reshape(n_beams, p.n_range, p.n_doppler)
+                    out["det_cube"] = cube(det_g)
                 return out
-            flat = det_s.reshape(n_beams * n2 * n1, p.n_doppler)
+            flat = det_s.reshape(n_beams * sl, ndl)
             out.update(DET.topk_detections(flat, max_dets=max_dets,
                                            row_max=rmax.reshape(-1),
                                            n_dets=jnp.sum(ndets)))
-            row = out["range_bin"]
-            sl = n2 * n1
-            out["beam_bin"] = row // sl
-            r = row % sl
-            out["range_bin"] = (r % n1) * n2 + r // n1   # de-interleave
+            remap(out)
             if include_maps:
                 out["mag_cube"] = mag_s
-                out["det_cube"] = jnp.swapaxes(det_s, 1, 2).reshape(
-                    n_beams, p.n_range, p.n_doppler)
+                out["det_cube"] = cube(det_s)
             return out
 
         if use_fused_frontend:

@@ -68,22 +68,30 @@ def topk_detections(det_map: jnp.ndarray, max_dets: int = 64,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("max_dets",))
+@functools.partial(jax.jit, static_argnames=("max_dets", "n2d"))
 def topk_detections_sliced(det_slices: jnp.ndarray, max_dets: int = 64,
                            row_max: jnp.ndarray | None = None,
-                           n_dets: jnp.ndarray | None = None):
+                           n_dets: jnp.ndarray | None = None,
+                           n2d: int = 1):
     """topk_detections over the fused front-end's sliced detection layout
     (ops/frontend_pallas.rdm_frontend(detect=True)): det_slices is
-    (n2, n1, n_doppler) with true map row n2*q + k2 stored at [k2, q].
+    (n2*n2d, n1, n_doppler/n2d) with plane k2*n2d + pd holding true map
+    row n2*q + k2 at sublane q and Doppler bin n2d*q_d + pd at lane q_d
+    (``n2d > 1`` only for the long-CPI Doppler split; the default layout
+    has n2d == 1 and natural Doppler lanes).
     Extracting on the sliced layout directly skips the (n_range, n_doppler)
     de-interleave transpose; only the 64 extracted row indices are remapped.
     Same detection set as topk on the de-interleaved map; entry order within
     equal-magnitude ties follows the sliced row order instead of the map row
     order (the set, not the order, is the reference's contract —
     rtl/src/radar_core.vhd:413-418 emits stream order anyway)."""
-    n2, n1, D = det_slices.shape
-    out = topk_detections(det_slices.reshape(n2 * n1, D), max_dets=max_dets,
-                          row_max=row_max, n_dets=n_dets)
+    n_planes, n1, D = det_slices.shape
+    n2 = n_planes // n2d
+    out = topk_detections(det_slices.reshape(n_planes * n1, D),
+                          max_dets=max_dets, row_max=row_max, n_dets=n_dets)
     r = out["range_bin"]
-    out["range_bin"] = (r % n1) * n2 + r // n1
+    plane = r // n1
+    out["range_bin"] = (r % n1) * n2 + plane // n2d
+    if n2d > 1:
+        out["doppler_bin"] = out["doppler_bin"] * n2d + plane % n2d
     return out

@@ -90,7 +90,51 @@ def _ct_split(nr: int):
             np.cos(at).astype(np.float32), np.sin(at).astype(np.float32))
 
 
-def _block_scale(mags, *, n2: int, cfar, integer: bool = False):
+@functools.lru_cache(maxsize=8)
+def _ct_split_rows(nd: int):
+    """Row-block Cooley-Tukey split of the chirp (sublane) axis for long
+    CPIs: j = n1d*j2 + j1 with n1d = 128 (contiguous row blocks).
+
+    Returns (n1d, n2d, W_n2d (n2d, n2d) re/im, twiddle (n2d*n1d, 1) re/im
+    with row k2d*n1d + j1 = W_nd^(j1*k2d)).  Output Doppler bins come out
+    interleaved across the n2d "parity" planes: plane k2d row q_d holds
+    bin n2d*q_d + k2d — the row-axis mirror of _ct_split's range
+    interleave, handled by the same (plane, carry) addressing in the
+    detect/grouping epilogues."""
+    n1d = min(nd, 128)
+    assert nd % n1d == 0
+    n2d = nd // n1d
+    j2 = np.arange(n2d)[:, None].astype(np.float64)
+    k2 = np.arange(n2d)[None, :].astype(np.float64)
+    a2 = -2.0 * np.pi * j2 * k2 / n2d
+    j1 = np.arange(n1d)[None, :].astype(np.float64)
+    at = -2.0 * np.pi * k2.T * j1 / nd               # (n2d, n1d)
+    return (n1d, n2d,
+            np.cos(a2).astype(np.float32), np.sin(a2).astype(np.float32),
+            np.cos(at).astype(np.float32).reshape(n2d * n1d, 1),
+            np.sin(at).astype(np.float32).reshape(n2d * n1d, 1))
+
+
+def _lane_carry(pd: int, dd: int, n2d: int):
+    """Doppler offset ``dd`` from a cell on parity plane ``pd``: source
+    parity and lane carry.  bin = n2d*q_d + pd; bin + dd = n2d*(q_d + c)
+    + ps, so the neighbor lives on parity plane ps at lane q_d + c (lane
+    rolls implement the mod-n1d wrap, which IS the mod-nd Doppler wrap —
+    parity is preserved under it)."""
+    ps = (pd + dd) % n2d
+    return ps, (pd + dd - ps) // n2d
+
+
+def _c_range(h: int, n2d: int):
+    """Lane-carry range [cmin, cmax] needed for Doppler offsets |dd| <= h
+    from any parity: cmin = floor(-h/n2d), cmax = floor((n2d-1+h)/n2d).
+    n2d == 1 degenerates to [-h, h] (one rotated copy per dd, the original
+    layout)."""
+    return -((h + n2d - 1) // n2d), (n2d - 1 + h) // n2d
+
+
+def _block_scale(mags, *, n2: int, cfar, integer: bool = False,
+                 n2d: int = 1):
     """Clutter-map scale (CfarParams.scale_mode='block', design_notes §8)
     computed from the in-VMEM mag slices when scale_block == n2 == nd//16...
 
@@ -102,8 +146,17 @@ def _block_scale(mags, *, n2: int, cfar, integer: bool = False):
     VPU.  Same own-block-threshold semantics as ops/cfar.block_scale_map
     (float sum order differs in ulps — the fused frontend's mag already
     differs from the XLA path's by more).
+
+    ``n2d > 1`` (long-CPI Doppler split): ``mags`` holds n2*n2d planes of
+    (n1, nd/n2d), index k2*n2d + pd, Doppler bins interleaved as
+    n2d*q_d + pd.  A Doppler block of B consecutive bins is then lanes
+    [g*B/n2d, (g+1)*B/n2d) of EVERY parity — summing parities first (block
+    sums are linear) reduces the lane grouping to width B/n2d, and the one
+    (n1, nd/n2d) scale plane stays valid for every plane (parity does not
+    change a cell's block).  Needs B % n2d == 0 (wrapper-checked).
     """
     B = cfar.scale_block
+    Bl = B // n2d                     # block width in LANES per parity
     N = 9 * B * B
     rank_idx = min((N * cfar.rank_pct) // 100, N - 1)
     k = N - rank_idx
@@ -116,20 +169,21 @@ def _block_scale(mags, *, n2: int, cfar, integer: bool = False):
         return x + roll(x, 1, 0) + roll(x, -1, 0)
 
     def lane_group_bcast(x):
-        """Sum lanes in groups of B, value broadcast to every lane of its
+        """Sum lanes in groups of Bl, value broadcast to every lane of its
         group: sliding sum (valid at group leaders) + log leader-bcast."""
         s = x
-        for j in range(1, B):
+        for j in range(1, Bl):
             s = s + roll(x, -j, 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         v = s
-        for step in (1, 2, 4):
-            if step < B:
-                v = jnp.where((lane % B) & step != 0, roll(v, step, 1), v)
+        step = 1
+        while step < Bl:
+            v = jnp.where((lane % Bl) & step != 0, roll(v, step, 1), v)
+            step *= 2
         return v
 
     def groups3(x):
-        return x + roll(x, B, 1) + roll(x, -B, 1)
+        return x + roll(x, Bl, 1) + roll(x, -Bl, 1)
 
     if integer:
         # ops/cfar.block_scale_map integer semantics: int32 block sums (the
@@ -137,7 +191,7 @@ def _block_scale(mags, *, n2: int, cfar, integer: bool = False):
         # not exact), floor-divided mean, shift-based thresholds.  The mag
         # planes hold int16-magnitude values in f32; sums stay exact int32.
         r = mags[0].astype(jnp.int32)
-        for k2 in range(1, n2):
+        for k2 in range(1, len(mags)):
             r = r + mags[k2].astype(jnp.int32)
         nsum = groups3(lane_group_bcast(rows3(r)))
         # Exact floor(nsum / N): the f32 quotient of a (possibly >2^24)
@@ -150,7 +204,7 @@ def _block_scale(mags, *, n2: int, cfar, integer: bool = False):
         t_hi = mean + (mean >> 1)
         t_lo = mean >> 1
         ind = None
-        for k2 in range(n2):
+        for k2 in range(len(mags)):
             mi = mags[k2].astype(jnp.int32)
             t = ((mi > t_hi).astype(jnp.int32)
                  + ((mi >= t_lo).astype(jnp.int32) << 12))
@@ -163,7 +217,7 @@ def _block_scale(mags, *, n2: int, cfar, integer: bool = False):
             jnp.where(cnt_lo < k, cfar.scale_min, cfar.scale_nom)).astype(
                 jnp.int32)
     r = mags[0]
-    for k2 in range(1, n2):
+    for k2 in range(1, len(mags)):
         r = r + mags[k2]                      # block-row sums (q, kd) f32
     nsum = groups3(lane_group_bcast(rows3(r)))
     mean = nsum * (1.0 / N)
@@ -171,7 +225,7 @@ def _block_scale(mags, *, n2: int, cfar, integer: bool = False):
     t_lo = 0.5 * mean
     ind = ((mags[0] > t_hi).astype(jnp.int32)
            + ((mags[0] >= t_lo).astype(jnp.int32) << 12))
-    for k2 in range(1, n2):
+    for k2 in range(1, len(mags)):
         ind = ind + ((mags[k2] > t_hi).astype(jnp.int32)
                      + ((mags[k2] >= t_lo).astype(jnp.int32) << 12))
     packed = groups3(lane_group_bcast(rows3(ind)))
@@ -236,7 +290,8 @@ def _rotate_into(m, rot_ref, j, k2, shift):
     rot_ref[j, k2, pl.ds(P + n1, P)] = r[:P, :]
 
 
-def _peak_group_epilogue(dets, det_ref, rot_ref, *, n2: int, radius: int):
+def _peak_group_epilogue(dets, det_ref, rot_ref, *, n2: int, radius: int,
+                         n2d: int = 1):
     """Peak grouping fused into the front-end kernel: keep a detection only
     if it is the max of its (2r+1)^2 wrap-padded neighborhood, ties broken
     toward the lower linear index — identical semantics to ops/cfar.peak_group
@@ -248,18 +303,27 @@ def _peak_group_epilogue(dets, det_ref, rot_ref, *, n2: int, radius: int):
     id < mine" needs no id planes: for dr != 0 it collapses to a row-wrap test
     (true rows are distinct mod n_range), for dr == 0 to a column-wrap test —
     both static iota compares.
+
+    ``n2d > 1`` (long-CPI Doppler split): Doppler bins are additionally
+    interleaved across parity planes (plane index k2*n2d + pd, bin =
+    n2d*q_d + pd); a Doppler offset dd resolves to (parity, lane-carry) via
+    _lane_carry, and the dr == 0 tie test becomes a parity-adjusted
+    lane-wrap threshold.
     """
-    n1, nd = dets[0].shape
+    n1, ndl = dets[0].shape
     R = n1 * n2
+    ND = ndl * n2d
     P = _DET_PAD
+    gmin, gmax = _c_range(radius, n2d)
+    for idx in range(n2 * n2d):
+        for j, c in enumerate(range(gmin, gmax + 1)):
+            # rot[j][:, l] = det[:, (l + c) mod ndl]
+            _rotate_into(dets[idx], rot_ref, j, idx, (-c) % ndl)
+    dcol = jax.lax.broadcasted_iota(jnp.int32, (n1, ndl), 1)
+    qrow = jax.lax.broadcasted_iota(jnp.int32, (n1, ndl), 0)
     for k2 in range(n2):
-        for j in range(2 * radius + 1):
-            # rot[j][:, d] = det[:, (d + j - radius) mod nd]
-            _rotate_into(dets[k2], rot_ref, j, k2, (radius - j) % nd)
-    dcol = jax.lax.broadcasted_iota(jnp.int32, (n1, nd), 1)
-    qrow = jax.lax.broadcasted_iota(jnp.int32, (n1, nd), 0)
-    for k2 in range(n2):
-        m = dets[k2]
+      for pd in range(n2d):
+        m = dets[k2 * n2d + pd]
         row = qrow * n2 + k2
         bad = None
         for dr in range(-radius, radius + 1):
@@ -268,21 +332,30 @@ def _peak_group_epilogue(dets, det_ref, rot_ref, *, n2: int, radius: int):
             for dd in range(-radius, radius + 1):
                 if dr == 0 and dd == 0:
                     continue
-                v = rot_ref[dd + radius, (k2 + dr) % n2,
+                ps, c = _lane_carry(pd, dd, n2d)
+                v = rot_ref[c - gmin, ((k2 + dr) % n2) * n2d + ps,
                             pl.ds(P + (k2 + dr) // n2, n1)]
                 if dr == 0:
-                    pred = (dcol >= -dd) if dd < 0 else (dcol >= nd - dd)
+                    # neighbor bin < mine <=> bin + dd crossed 0 / ND:
+                    # bin = n2d*q_d + pd, so the threshold on q_d carries
+                    # the parity (exact ceil; degenerates to the n2d == 1
+                    # -dd / nd-dd forms).
+                    if dd < 0:
+                        thr = (-dd - pd + n2d - 1) // n2d
+                    else:
+                        thr = (ND - dd - pd + n2d - 1) // n2d
+                    pred = dcol >= thr
                 else:
                     pred = rowlt
                 b = (v > m) | ((v == m) & pred)
                 bad = b if bad is None else bad | b
         keep = (m > 0.0) & ~bad
-        det_ref[k2] = jnp.where(keep, m, jnp.zeros_like(m))
+        det_ref[k2 * n2d + pd] = jnp.where(keep, m, jnp.zeros_like(m))
 
 
 def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
                      peak_radius: int = 0, integer: bool = False,
-                     percell_onepass: bool = False):
+                     percell_onepass: bool = False, n2d: int = 1):
     """CFAR detection pass fused into the front-end kernel: the exact
     counting formulation of ops/cfar_pallas._kernel_detect_scaled (float
     mode, q_min probing), evaluated on the in-VMEM mag slices so the
@@ -319,45 +392,62 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
     row wrap).  Per reference cell the hot loop is one load + compare + add,
     identical op structure to the standalone kernel, with the XLA-side pad,
     the mag HBM round trip and the separate dispatch all gone.
+
+    ``n2d > 1`` (long-CPI Doppler split): Doppler bins are additionally
+    interleaved across parity planes (plane index k2*n2d + pd, bin =
+    n2d*q_d + pd) — a Doppler offset dd resolves to a (parity, lane-carry)
+    pair via _lane_carry exactly as a range offset resolves to a
+    (slice, row-carry) pair, and the rotation scratch holds one lane-carry
+    copy per (carry, plane) instead of one per (dd, slice).  Every
+    per-cell association tree (box sums, counting passes) is unchanged, so
+    the bit-exactness contracts above carry over verbatim.
     """
-    n1, nd = mags[0].shape
+    n1, ndl = mags[0].shape
     hr, hd = cfar.halo_range, cfar.halo_doppler
     k = cfar.n_ref - cfar.rank_idx
     P = _DET_PAD
-    for k2 in range(n2):
-        for j in range(cfar.win_doppler):
-            # rot[j][:, d] = m[:, (d + j - hd) mod nd] (the lane-slice-of-
+    cmin, cmax = _c_range(hd, n2d)
+    for idx in range(n2 * n2d):
+        for j, c in enumerate(range(cmin, cmax + 1)):
+            # rot[j][:, l] = m[:, (l + c) mod ndl] (the lane-slice-of-
             # padded-map layout of the standalone kernel's rot_ref).
-            _rotate_into(mags[k2], rot_ref, j, k2, (hd - j) % nd)
+            _rotate_into(mags[idx], rot_ref, j, idx, (-c) % ndl)
     if scale is not None:
         scale = jnp.where(so != 0, so, scale)
         scale_f = scale.astype(jnp.float32)
     offsets = _window_offsets(cfar)
     dets = []
     for k2 in range(n2):
-        cut = mags[k2]
+      for pd in range(n2d):
+        cut = mags[k2 * n2d + pd]
 
         def ref(dr, dd):
-            return rot_ref[dd + hd, (k2 + dr) % n2,
+            ps, c = _lane_carry(pd, dd, n2d)
+            return rot_ref[c - cmin, ((k2 + dr) % n2) * n2d + ps,
                            pl.ds(P + (k2 + dr) // n2, n1)]
 
         def box(r0, r1, d0, d1):
             """Window sum over dr in [r0, r1] x dd in [d0, d1], inner sum
             over dr ascending then outer over dd ascending — the association
             order of ops/cfar._box2d_sum.  Separable: the dr column sum is
-            computed once (on the un-rotated planes) and reused for every dd
-            via lane rolls — each output cell's addition tree is identical
-            to the direct double loop (sum_dd of sum_dr), so this is
-            bit-exact with it, at ~(W_r + 2*W_d) plane-ops instead of
-            W_r*W_d."""
-            col = None
-            for dr in range(r0, r1 + 1):
-                v = ref(dr, 0)
-                col = v if col is None else col + v
-            nd_ = col.shape[1]
+            computed once per parity (on the un-rotated planes) and reused
+            for every dd via lane rolls — each output cell's addition tree
+            is identical to the direct double loop (sum_dd of sum_dr), so
+            this is bit-exact with it, at ~(W_r + 2*W_d) plane-ops instead
+            of W_r*W_d."""
+            cols = []
+            for ps in range(n2d):
+                col = None
+                for dr in range(r0, r1 + 1):
+                    v = rot_ref[-cmin, ((k2 + dr) % n2) * n2d + ps,
+                                pl.ds(P + (k2 + dr) // n2, n1)]
+                    col = v if col is None else col + v
+                cols.append(col)
             acc = None
             for dd in range(d0, d1 + 1):
-                t = col if dd == 0 else pltpu.roll(col, (-dd) % nd_, axis=1)
+                ps, c = _lane_carry(pd, dd, n2d)
+                t = (cols[ps] if c == 0
+                     else pltpu.roll(cols[ps], (-c) % ndl, axis=1))
                 acc = t if acc is None else acc + t
             return acc
 
@@ -419,7 +509,7 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
             if peak_radius > 0:
                 dets.append(det)
             else:
-                det_ref[k2] = det
+                det_ref[k2 * n2d + pd] = det
             continue
 
         if scale is None and percell_onepass:
@@ -457,7 +547,7 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
             q_lo = qmin(jnp.where(so != 0, so, cfar.scale_min))
             q_nom = qmin(jnp.where(so != 0, so, cfar.scale_nom))
             q_hi = qmin(jnp.where(so != 0, so, cfar.scale_max))
-            z = jnp.zeros((n1, nd), jnp.int32)
+            z = jnp.zeros((n1, ndl), jnp.int32)
             c_hi, c_lo, n_lo, n_nom, n_hi = z, z, z, z, z
             for dr, dd in offsets:
                 v = ref(dr, dd)
@@ -473,7 +563,7 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
             if peak_radius > 0:
                 dets.append(det)
             else:
-                det_ref[k2] = det
+                det_ref[k2 * n2d + pd] = det
             continue
 
         if scale is None:
@@ -494,8 +584,8 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
             else:
                 t_hi = 1.5 * mean
                 t_lo = 0.5 * mean
-            cnt_hi = jnp.zeros((n1, nd), jnp.int32)
-            cnt_lo = jnp.zeros((n1, nd), jnp.int32)
+            cnt_hi = jnp.zeros((n1, ndl), jnp.int32)
+            cnt_lo = jnp.zeros((n1, ndl), jnp.int32)
             for dr, dd in offsets:
                 v = ref(dr, dd)
                 cnt_hi = cnt_hi + (v > t_hi).astype(jnp.int32)
@@ -516,7 +606,7 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
             for delta in (0, -1, -2):
                 c = pltpu.bitcast(ti + delta, jnp.float32)
                 q = jnp.where(c * scale_f >= cut, c, q)
-        cnt = jnp.zeros((n1, nd), jnp.int32)
+        cnt = jnp.zeros((n1, ndl), jnp.int32)
         for dr, dd in offsets:
             cnt = cnt + (ref(dr, dd) >= q).astype(jnp.int32)
         det = (cnt < k) & (cut > 0.0)
@@ -524,10 +614,10 @@ def _detect_epilogue(mags, scale, so, det_ref, rot_ref, *, n2: int, cfar,
         if peak_radius > 0:
             dets.append(det)       # group once all slices are decided
         else:
-            det_ref[k2] = det
+            det_ref[k2 * n2d + pd] = det
     if peak_radius > 0:
         _peak_group_epilogue(dets, det_ref, rot_ref, n2=n2,
-                             radius=peak_radius)
+                             radius=peak_radius, n2d=n2d)
 
 
 def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
@@ -536,8 +626,20 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
             n1: int, n2: int, c2r, c2i, exact_mag: bool, cfar=None,
             detect: bool = False, emit_mag: bool = True,
             peak_radius: int = 0, emit_topk: bool = True,
-            outer: str = "direct", percell_onepass: bool = False):
+            outer: str = "direct", percell_onepass: bool = False,
+            n2d: int = 1, d2r=None, d2i=None, notch_mode: int = 2,
+            transient: str = "zero"):
     rest = list(rest)
+    if n2d > 1:
+        # Long-CPI Doppler split (n_doppler = n2d*128): the mrh..mil slots
+        # carry the split DFT_128 cos/sin matrices instead of the fused
+        # slow-time operator; MTI + Doppler window run elementwise in-kernel
+        # (wd_ref, byp from ctl SMEM), then a row-block Cooley-Tukey
+        # (_ct_split_rows) — MACs per sample drop from nd to 128 + eps.
+        wd_ref = rest.pop(0)
+        dtwr_ref = rest.pop(0)
+        dtwi_ref = rest.pop(0)
+        ctl_ref = rest.pop(0)
     if detect:
         # Ref order: so (SMEM input) | det, [mag], stats, [rmax] (outputs) |
         # rot scratch.
@@ -601,27 +703,81 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
         rr = mm3(br, c1h_ref, c1l_ref, dn1) - mm3(bi, s1h_ref, s1l_ref, dn1)
         ri = mm3(br, s1h_ref, s1l_ref, dn1) + mm3(bi, c1h_ref, c1l_ref, dn1)
 
-        # 5. Fused slow-time operator: contract chirps -> (n1, nd).
-        yr = mm3(rr, mrh_ref, mrl_ref, dn0) - mm3(ri, mih_ref, mil_ref, dn0)
-        yi = mm3(rr, mih_ref, mil_ref, dn0) + mm3(ri, mrh_ref, mrl_ref, dn0)
+        def emit(plane_idx, yr, yi):
+            # Magnitude; map row n2*q + k2 lands at [k2, q] (and Doppler
+            # bin n2d*q_d + k2d at plane k2*n2d + k2d, lane q_d).
+            if exact_mag:
+                m = jnp.sqrt(yr * yr + yi * yi)
+            else:
+                ar = jnp.abs(yr)
+                ai = jnp.abs(yi)
+                m = jnp.maximum(ar, ai) + 0.375 * jnp.minimum(ar, ai)
+            if mag_ref is not None:
+                mag_ref[plane_idx] = m
+            mags.append(m)
 
-        # 6. Magnitude; map row n2*q + k2 lands at [k2, q].
-        if exact_mag:
-            m = jnp.sqrt(yr * yr + yi * yi)
+        if n2d == 1:
+            # 5. Fused slow-time operator: contract chirps -> (n1, nd).
+            yr = mm3(rr, mrh_ref, mrl_ref, dn0) - mm3(ri, mih_ref, mil_ref,
+                                                      dn0)
+            yi = mm3(rr, mih_ref, mil_ref, dn0) + mm3(ri, mrh_ref, mrl_ref,
+                                                      dn0)
+            emit(k2, yr, yi)
         else:
-            ar = jnp.abs(yr)
-            ai = jnp.abs(yi)
-            m = jnp.maximum(ar, ai) + 0.375 * jnp.minimum(ar, ai)
-        if mag_ref is not None:
-            mag_ref[k2] = m
-        mags.append(m)
+            # 5'. Long-CPI split: elementwise MTI + Doppler window (the
+            # H / diag(w) factors of ops/fft.doppler_matrices, applied
+            # directly), then the row-block Cooley-Tukey Doppler DFT —
+            # outer DFT_n2d over contiguous chirp blocks (VPU plane sums),
+            # per-row twiddle column, inner DFT_128 contraction per block
+            # (also the corner turn).  Doppler bins land interleaved
+            # n2d*q_d + k2d across the parity planes.
+            nd_ = rr.shape[0]
+            n1d = nd_ // n2d
+            rowsd = jax.lax.broadcasted_iota(jnp.int32, (nd_, n1), 0)
+            byp = ctl_ref[0]
+
+            def mti_f(x):
+                d1 = jnp.where(rowsd >= 1, pltpu.roll(x, 1, 0), 0.0)
+                if notch_mode == 2:
+                    y = x - d1
+                else:
+                    d2 = jnp.where(rowsd >= 2, pltpu.roll(x, 2, 0), 0.0)
+                    y = x - 2.0 * d1 + d2
+                if transient == "zero":
+                    y = jnp.where(rowsd >= notch_mode - 1, y, 0.0)
+                return jnp.where(byp != 0, x, y)
+
+            wd = wd_ref[...]                        # (nd, 1) f32
+            zr = mti_f(rr) * wd
+            zi = mti_f(ri) * wd
+            for k2d in range(n2d):
+                br2 = bi2 = None
+                for j2 in range(n2d):
+                    xbr = zr[j2 * n1d:(j2 + 1) * n1d, :]
+                    xbi = zi[j2 * n1d:(j2 + 1) * n1d, :]
+                    cr_, ci_ = float(d2r[j2, k2d]), float(d2i[j2, k2d])
+                    tr = xbr * cr_ - xbi * ci_
+                    ti = xbr * ci_ + xbi * cr_
+                    br2 = tr if br2 is None else br2 + tr
+                    bi2 = ti if bi2 is None else bi2 + ti
+                if k2d > 0:
+                    # Twiddle W_nd^(j1*k2d): one (n1d, 1) column per block.
+                    twc_r = dtwr_ref[pl.ds(k2d * n1d, n1d)]
+                    twc_i = dtwi_ref[pl.ds(k2d * n1d, n1d)]
+                    br2, bi2 = (br2 * twc_r - bi2 * twc_i,
+                                br2 * twc_i + bi2 * twc_r)
+                yr = (mm3(br2, mrh_ref, mrl_ref, dn0)
+                      - mm3(bi2, mih_ref, mil_ref, dn0))
+                yi = (mm3(br2, mih_ref, mil_ref, dn0)
+                      + mm3(bi2, mrh_ref, mrl_ref, dn0))
+                emit(k2 * n2d + k2d, yr, yi)
 
     if detect:
-        scale = (_block_scale(mags, n2=n2, cfar=cfar)
+        scale = (_block_scale(mags, n2=n2, cfar=cfar, n2d=n2d)
                  if cfar.scale_mode == "block" else None)
         _detect_epilogue(mags, scale, so_ref[0], det_ref, rot_ref,
                          n2=n2, cfar=cfar, peak_radius=peak_radius,
-                         percell_onepass=percell_onepass)
+                         percell_onepass=percell_onepass, n2d=n2d)
         nf = jnp.zeros((), jnp.int32)
         for m in mags:
             nf = nf + jnp.sum((~jnp.isfinite(m)).astype(jnp.int32))
@@ -631,14 +787,14 @@ def _kernel(re_ref, im_ref, win_ref, twr_ref, twi_ref,
         # the full det map again (only the 64 winning rows are gathered).
         ndet = jnp.zeros((), jnp.int32)
         if emit_topk:
-            for k2 in range(n2):
+            for k2 in range(n2 * n2d):
                 d = det_ref[k2]
                 rmax_ref[k2] = jnp.max(d, axis=1, keepdims=True)
                 ndet = ndet + jnp.sum((d > 0.0).astype(jnp.int32))
         stats_ref[0, 0] = nf
         stats_ref[0, 1] = ndet
     elif cfar is not None:
-        scale_ref[0][...] = _block_scale(mags, n2=n2, cfar=cfar)
+        scale_ref[0][...] = _block_scale(mags, n2=n2, cfar=cfar, n2d=n2d)
 
 
 def _bfp_scale(pk):
@@ -975,18 +1131,38 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
 
     ``peak_group_radius`` (detect=True only): also run peak grouping on the
     in-VMEM det slices (_peak_group_epilogue) — same semantics as
-    ops/cfar.peak_group with wrap edges."""
+    ops/cfar.peak_group with wrap edges.
+
+    Long CPIs (n_doppler = n2d*128, n2d > 1): the fused slow-time operator
+    would cost nd MACs/sample, so the kernel switches to the split form —
+    elementwise MTI + Doppler window, then a row-block Cooley-Tukey
+    Doppler DFT (128 MACs/sample; docs/PERF_LOG.md round 4).  Doppler bins
+    come out interleaved across n2d parity planes: det/mag slices have
+    shape (n2*n2d, n1, nd/n2d) with plane k2*n2d + pd holding map row
+    n2*q + k2 / Doppler bin n2d*q_d + pd (the returned ``mag`` map is
+    de-interleaved here; ops/detect.topk_detections_sliced(n2d=...) maps
+    detection rows/lanes back).  row_max ids follow the flattened plane
+    order."""
     nd, nr, _ = iq.shape
     n1, n2, c2r, c2i, twr, twi = _ct_split(nr)
     if n2 > 16:
         raise ValueError(f"n_range={nr}: outer radix {n2} > 16")
+    if nd > 128 and nd % 128 == 0:
+        n1d, n2d, d2r, d2i, dtwr, dtwi = _ct_split_rows(nd)
+        if n2d > 16:
+            raise ValueError(f"n_doppler={nd}: outer radix {n2d} > 16")
+    else:
+        n1d, n2d, d2r, d2i, dtwr, dtwi = nd, 1, None, None, None, None
+    ndl = nd // n2d
     percell = detect and cfar is not None and cfar.scale_mode == "cell"
     if cfar is not None and not percell and (
             cfar.scale_mode != "block" or cfar.scale_block != n2
-            or nd % cfar.scale_block or cfar.edge_mode != "wrap"):
+            or nd % cfar.scale_block or cfar.edge_mode != "wrap"
+            or cfar.scale_block % n2d):
         raise ValueError(
             f"in-kernel scale needs scale_mode='block', scale_block == "
-            f"n_range/128 == {n2}, wrap edges; got {cfar}")
+            f"n_range/128 == {n2} (divisible by n_doppler/128 = {n2d}), "
+            f"wrap edges; got {cfar}")
     if detect:
         if (cfar is None or cfar.variant not in ("os", "ca", "go", "so")
                 or cfar.edge_mode != "wrap"):
@@ -1006,23 +1182,39 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
     c1r, c1i = dft_matrices(n1)
     c1h, c1l = _split_matrix(c1r)
     s1h, s1l = _split_matrix(c1i)
-    m1r, m1i, m0r, m0i = doppler_matrices(nd, notch_mode, transient,
-                                          coef_width)
-    m1 = [jnp.asarray(x) for m in (m1r, m1i) for x in _split_matrix(m)]
-    m0 = [jnp.asarray(x) for m in (m0r, m0i) for x in _split_matrix(m)]
-    byp = jnp.asarray(mti_bypass)
-    mrh, mrl, mih, mil = [jnp.where(byp, a, b) for a, b in zip(m0, m1)]
-
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    if n2d == 1:
+        m1r, m1i, m0r, m0i = doppler_matrices(nd, notch_mode, transient,
+                                              coef_width)
+        m1 = [jnp.asarray(x) for m in (m1r, m1i) for x in _split_matrix(m)]
+        m0 = [jnp.asarray(x) for m in (m0r, m0i) for x in _split_matrix(m)]
+        byp = jnp.asarray(mti_bypass)
+        mrh, mrl, mih, mil = [jnp.where(byp, a, b) for a, b in zip(m0, m1)]
+        extra_ops, extra_specs = [], []
+    else:
+        # Split slow-time: the mrh..mil slots carry the DFT_128 cos/sin
+        # splits; MTI/window/bypass move in-kernel (wd + ctl SMEM).
+        cdr, cdi = dft_matrices(n1d)
+        mrh, mrl = [jnp.asarray(x) for x in _split_matrix(cdr)]
+        mih, mil = [jnp.asarray(x) for x in _split_matrix(cdi)]
+        wd = np.asarray(hamming_float(nd, coef_width),
+                        np.float32).reshape(nd, 1)
+        ctl = jnp.asarray(mti_bypass).astype(jnp.int32).reshape(1)
+        extra_ops = [jnp.asarray(wd), jnp.asarray(dtwr), jnp.asarray(dtwi),
+                     ctl]
+        extra_specs = [vmem(), vmem(), vmem(),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)]
+
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)
-    slices = jax.ShapeDtypeStruct((n2, n1, nd), jnp.float32)
+    slices = jax.ShapeDtypeStruct((n2 * n2d, n1, ndl), jnp.float32)
     operands = [iq[..., 0], iq[..., 1], jnp.asarray(win), jnp.asarray(twr),
                 jnp.asarray(twi), jnp.asarray(c1h), jnp.asarray(c1l),
-                jnp.asarray(s1h), jnp.asarray(s1l), mrh, mrl, mih, mil]
-    in_specs = [vmem()] * 13
+                jnp.asarray(s1h), jnp.asarray(s1l), mrh, mrl, mih, mil,
+                *extra_ops]
+    in_specs = [vmem()] * 13 + extra_specs
     scratch = []
     if detect:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -1035,24 +1227,35 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
         out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.int32))  # nf, ndet
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         if emit_topk:
-            out_shape.append(jax.ShapeDtypeStruct((n2, n1, 1), jnp.float32))
+            out_shape.append(jax.ShapeDtypeStruct((n2 * n2d, n1, 1),
+                                                  jnp.float32))
             out_specs.append(vmem())                            # row maxes
-        n_rot = max(cfar.win_doppler, 2 * peak_group_radius + 1)
+        wmin, wmax = _c_range(cfar.halo_doppler, n2d)
+        gmin, gmax = _c_range(peak_group_radius, n2d)
+        n_rot = max(wmax - wmin + 1, gmax - gmin + 1)
         scratch = [pltpu.VMEM(
-            (n_rot, n2, n1 + 2 * _DET_PAD, nd), jnp.float32)]
+            (n_rot, n2 * n2d, n1 + 2 * _DET_PAD, ndl), jnp.float32)]
     elif cfar is not None:
-        out_shape = [slices, jax.ShapeDtypeStruct((n1, nd), jnp.int32)]
+        out_shape = [slices, jax.ShapeDtypeStruct((n1, ndl), jnp.int32)]
         out_specs = [vmem(), vmem()]
     else:
         out_shape = slices
         out_specs = vmem()
+
+    def deinterleave(planes):
+        # plane k2*n2d + pd, cell [q, q_d] -> map[n2*q + k2, n2d*q_d + pd].
+        x = planes.reshape(n2, n2d, n1, ndl)
+        return jnp.transpose(x, (2, 0, 3, 1)).reshape(nr, nd)
+
     out = pl.pallas_call(
         functools.partial(_kernel, n1=n1, n2=n2, c2r=c2r, c2i=c2i,
                           exact_mag=exact_mag, cfar=cfar, detect=detect,
                           emit_mag=emit_mag,
                           peak_radius=peak_group_radius,
                           emit_topk=emit_topk, outer=outer,
-                          percell_onepass=percell_onepass),
+                          percell_onepass=percell_onepass,
+                          n2d=n2d, d2r=d2r, d2i=d2i,
+                          notch_mode=notch_mode, transient=transient),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1062,20 +1265,23 @@ def rdm_frontend(iq: jnp.ndarray, mti_bypass=False, notch_mode: int = 2,
     )(*operands)
     if detect:
         det_s = out[0]
-        mag = (jnp.swapaxes(out[1], 0, 1).reshape(nr, nd) if emit_mag
-               else None)
+        mag = deinterleave(out[1]) if emit_mag else None
         if not emit_topk:
             return det_s, mag, out[-1][0, 0], None, None
         stats = out[-2]
-        # Row maxes in sliced-row order (id k2*n1 + q) — feeds the
+        # Row maxes in sliced-row order (id plane*n1 + q) — feeds the
         # row-select stage of ops/detect.topk_detections_sliced directly.
-        rmax = out[-1].reshape(n2 * n1)
+        rmax = out[-1].reshape(n2 * n2d * n1)
         return det_s, mag, stats[0, 0], rmax, stats[0, 1]
     if cfar is not None:
         mag_s, scale_plane = out
-        mag = jnp.swapaxes(mag_s, 0, 1).reshape(nr, nd)
+        mag = deinterleave(mag_s)
         # Map row k belongs to block row k // scale_block == q (k = n2*q+k2,
-        # scale_block == n2), so repeat the block-constant plane rows.
-        return mag, jnp.repeat(scale_plane, n2, axis=0)
-    # De-interleave: map row n2*q + k2 = out[k2, q] -> (nr, nd).
-    return jnp.swapaxes(out, 0, 1).reshape(nr, nd)
+        # scale_block == n2) and map bin d to lane d // n2d — repeat the
+        # block-constant plane along both axes.
+        scale = jnp.repeat(scale_plane, n2, axis=0)
+        if n2d > 1:
+            scale = jnp.repeat(scale, n2d, axis=1)
+        return mag, scale
+    # De-interleave: map row n2*q + k2, bin n2d*q_d + pd.
+    return deinterleave(out)

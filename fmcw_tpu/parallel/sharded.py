@@ -462,7 +462,27 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
                     emit_mag=include_maps))(biq)
             n2 = max(p.n_range // 128, 1)
             n1 = min(p.n_range, 128)
+            n2d = det_s.shape[1] // n2    # long-CPI Doppler parity planes
+            ndl = p.n_doppler // n2d
+            sl = n2 * n2d * n1            # sliced rows per beam
             nonfinite = jnp.sum(nf).astype(jnp.int32)
+
+            def _remap(local):
+                row = local["range_bin"]
+                b = row // sl + sp_idx * bl
+                r = row % sl
+                plane = r // n1
+                rb = (r % n1) * n2 + plane // n2d      # de-interleave
+                if n2d > 1:
+                    local["doppler_bin"] = (local["doppler_bin"] * n2d
+                                            + plane % n2d)
+                return b, rb
+
+            def _cube(planes):
+                return jnp.transpose(
+                    planes.reshape(bl, n2, n2d, n1, ndl),
+                    (0, 3, 1, 4, 2)).reshape(bl, p.n_range, p.n_doppler)
+
             if beam_group_radius > 0:
                 # Cross-beam grouping compares the same cell across beams;
                 # the sliced layout is a shared permutation, so grouping
@@ -470,35 +490,23 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
                 # slices directly — no de-interleave.  Row maxes are
                 # recomputed post-group so extraction keeps the row-select
                 # reduction (pipeline.make_array_processor, PERF_LOG r4).
-                det_g = _beam_group(
-                    det_s.reshape(bl, n2 * n1, p.n_doppler))
-                flat = det_g.reshape(bl * n2 * n1, p.n_doppler)
+                det_g = _beam_group(det_s.reshape(bl, sl, ndl))
+                flat = det_g.reshape(bl * sl, ndl)
                 local = DET.topk_detections(
                     flat, max_dets=max_dets, row_max=jnp.max(flat, axis=1))
-                row = local["range_bin"]
-                sl = n2 * n1
-                local_b = row // sl + sp_idx * bl
-                r = row % sl
-                local_r = (r % n1) * n2 + r // n1      # de-interleave
+                local_b, local_r = _remap(local)
                 if include_maps:
                     maps["mag_cube"] = mag_s
-                    maps["det_cube"] = jnp.swapaxes(
-                        det_g.reshape(bl, n2, n1, p.n_doppler),
-                        1, 2).reshape(bl, p.n_range, p.n_doppler)
+                    maps["det_cube"] = _cube(det_g)
             else:
-                flat = det_s.reshape(bl * n2 * n1, p.n_doppler)
+                flat = det_s.reshape(bl * sl, ndl)
                 local = DET.topk_detections(flat, max_dets=max_dets,
                                             row_max=rmax.reshape(-1),
                                             n_dets=jnp.sum(ndets))
-                row = local["range_bin"]
-                sl = n2 * n1
-                local_b = row // sl + sp_idx * bl
-                r = row % sl
-                local_r = (r % n1) * n2 + r // n1      # de-interleave
+                local_b, local_r = _remap(local)
                 if include_maps:
                     maps["mag_cube"] = mag_s
-                    maps["det_cube"] = jnp.swapaxes(det_s, 1, 2).reshape(
-                        bl, p.n_range, p.n_doppler)
+                    maps["det_cube"] = _cube(det_s)
         else:
             if use_fused_frontend:
                 # ref_angle > 0: fused Pallas front-end per local beam, the

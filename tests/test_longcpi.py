@@ -1,0 +1,219 @@
+"""Long-CPI Doppler split (n_doppler = n2d*128) of the fused front-end.
+
+For CPIs longer than 128 chirps the fused slow-time operator's MAC count
+per sample grows with n_doppler; the kernel then switches to the split
+form — elementwise MTI + Doppler window + row-block Cooley-Tukey DFT
+(ops/frontend_pallas._ct_split_rows) — whose Doppler bins land interleaved
+across n2d parity planes.  These tests pin the layout's correctness
+contracts at (256 x 256): n2r = 2 range slices x n2d = 2 parity planes,
+so both interleave axes and all carry paths are exercised.
+
+Ref: BASELINE config 2 (1024x256 long-CPI shape);
+rtl/old/radar_core_v2.vhd:17-18 (the reference's flat per-sample cost the
+split restores).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fmcw_tpu import RadarParams
+from fmcw_tpu.golden import reference
+from fmcw_tpu.models import pipeline as pl
+from fmcw_tpu.ops.frontend_pallas import rdm_frontend
+
+P = RadarParams(n_range=256, n_doppler=256)
+P_BLOCK = P.replace(cfar=dataclasses.replace(P.cfar, scale_mode="block",
+                                             scale_block=2))
+
+
+def _iq(p=P, seed=3):
+    return pl.complex_to_iq(reference.two_target_frame(p, seed=seed))
+
+
+def _deinterleave(planes, nr, nd):
+    n2 = max(nr // 128, 1)
+    n1 = min(nr, 128)
+    n2d = planes.shape[0] // n2
+    x = np.asarray(planes).reshape(n2, n2d, n1, nd // n2d)
+    return np.transpose(x, (2, 0, 3, 1)).reshape(nr, nd)
+
+
+def test_longcpi_mag_matches_xla_chain():
+    """Split front-end magnitude == the XLA chain's to f32 tolerance, for
+    both MTI modes, bypass, and transient settings."""
+    from fmcw_tpu.ops import fft as F, magnitude as M
+
+    iq = _iq()
+    for bypass in (False, True):
+        for notch_mode, transient in ((2, "zero"), (3, "passthrough")):
+            got = rdm_frontend(jnp.asarray(iq), jnp.asarray(bypass),
+                               notch_mode=notch_mode, transient=transient,
+                               interpret=True)
+            re = jnp.asarray(iq[..., 0], jnp.float32)
+            im = jnp.asarray(iq[..., 1], jnp.float32)
+            re, im = F.fft_apply(re, im, axis=1, window=True,
+                                 method="matmul")
+            re, im = F.doppler_apply(re, im, axis=0,
+                                     bypass=jnp.asarray(bypass),
+                                     notch_mode=notch_mode,
+                                     transient=transient)
+            want = M.magnitude_float(re, im)
+            scale = float(np.abs(np.asarray(want)).max())
+            err = np.max(np.abs(np.asarray(got) - np.asarray(want))) / scale
+            assert err < 2e-5, (bypass, notch_mode, transient, err)
+
+
+@pytest.mark.parametrize("scale_mode", ["cell", "block"])
+def test_longcpi_detect_bitexact_vs_standalone(scale_mode):
+    """The split layout's detect epilogue keeps the bit-exact contract:
+    det map == the standalone counting kernel on the kernel's OWN mag (and
+    own scale plane in block mode), row maxes and counts consistent."""
+    from fmcw_tpu.ops.cfar_pallas import cfar_2d_pallas_detect
+
+    p = P_BLOCK if scale_mode == "block" else P
+    iq = _iq(p)
+    for so in (0, 6):
+        det_s, mag, nf, row_max, n_dets = rdm_frontend(
+            jnp.asarray(iq), jnp.asarray(False), interpret=True, cfar=p.cfar,
+            detect=True, scale_override=jnp.asarray(so, jnp.int32))
+        if scale_mode == "block":
+            mag2, scale = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
+                                       interpret=True, cfar=p.cfar)
+        else:
+            mag2, scale = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
+                                       interpret=True), None
+        assert np.array_equal(np.asarray(mag), np.asarray(mag2))
+        want, _ = cfar_2d_pallas_detect(mag2, jnp.asarray(so, jnp.int32),
+                                        cfar=p.cfar, interpret=True,
+                                        scale_map=scale)
+        got = _deinterleave(det_s, p.n_range, p.n_doppler)
+        assert np.array_equal(got, np.asarray(want))
+        assert int(nf) == 0
+        ds = np.asarray(det_s)
+        assert np.array_equal(np.asarray(row_max),
+                              ds.reshape(-1, ds.shape[-1]).max(axis=1))
+        assert int(n_dets) == int((ds > 0).sum()) > 0
+
+
+def test_longcpi_peak_group_matches_xla():
+    """In-kernel peak grouping on the doubly-interleaved det slices ==
+    ops/cfar.peak_group on the de-interleaved map (wrap seams, parity
+    carries, and the id tie-break all exercised)."""
+    from fmcw_tpu.ops import cfar as C
+
+    iq = _iq(P_BLOCK, seed=9)
+    for radius in (1, 2, 3):
+        det_g, _, _, _, _ = rdm_frontend(
+            jnp.asarray(iq), jnp.asarray(False), interpret=True,
+            cfar=P_BLOCK.cfar, detect=True,
+            scale_override=jnp.asarray(0, jnp.int32),
+            peak_group_radius=radius)
+        det_u, _, _, _, _ = rdm_frontend(
+            jnp.asarray(iq), jnp.asarray(False), interpret=True,
+            cfar=P_BLOCK.cfar, detect=True,
+            scale_override=jnp.asarray(0, jnp.int32))
+        want = C.peak_group(
+            jnp.asarray(_deinterleave(det_u, P.n_range, P.n_doppler)),
+            radius=radius)
+        got = _deinterleave(det_g, P.n_range, P.n_doppler)
+        assert np.array_equal(got, np.asarray(want)), radius
+        assert (got > 0).any()
+
+
+def test_longcpi_variants_match_xla():
+    """CA/GO fused epilogues on the split layout vs cfar_2d on the
+    kernel's own mag — exact decisions (mirrored association orders)."""
+    from fmcw_tpu.ops import cfar as C
+
+    for variant in ("ca", "go"):
+        for scale_mode in ("block", "cell"):
+            p = P.replace(cfar=dataclasses.replace(
+                P.cfar, variant=variant, scale_mode=scale_mode,
+                scale_block=2))
+            iq = _iq(p, seed=5)
+            det_s, mag, _, _, n_dets = rdm_frontend(
+                jnp.asarray(iq), jnp.asarray(False), interpret=True,
+                cfar=p.cfar, detect=True,
+                scale_override=jnp.asarray(0, jnp.int32))
+            scale = None
+            if scale_mode == "block":
+                _, scale = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
+                                        interpret=True, cfar=p.cfar)
+            want, _, _ = C.cfar_2d(mag, jnp.asarray(0, jnp.int32),
+                                   cfar=p.cfar, integer=False,
+                                   scale_map=scale)
+            got = _deinterleave(det_s, p.n_range, p.n_doppler)
+            assert np.array_equal(got, np.asarray(want)), (variant,
+                                                           scale_mode)
+
+
+def test_longcpi_scale_plane_matches_block_scale_map():
+    """Scale-only emission (detect=False + cfar): the kernel's block scale
+    repeated over both interleave axes makes the same scale decisions as
+    ops/cfar.block_scale_map on the de-interleaved mag."""
+    from fmcw_tpu.ops import cfar as C
+
+    iq = _iq(P_BLOCK, seed=7)
+    mag, scale = rdm_frontend(jnp.asarray(iq), jnp.asarray(False),
+                              interpret=True, cfar=P_BLOCK.cfar)
+    want = C.block_scale_map(mag, P_BLOCK.cfar, integer=False)
+    assert np.asarray(scale).shape == (P.n_range, P.n_doppler)
+    agree = np.mean(np.asarray(scale) == np.asarray(want))
+    # Float block sums reassociate across the parity planes; decisions at
+    # hi/lo classification edges can flip in ulps (the established float
+    # contract) — require near-total agreement, not bit equality.
+    assert agree > 0.999, agree
+
+
+def test_longcpi_topk_sliced_mapping():
+    """topk_detections_sliced(n2d=2): same detection set as the flat top-K
+    over the de-interleaved map (coordinates remapped through both
+    interleave axes)."""
+    from fmcw_tpu.ops import detect as DET
+
+    rng = np.random.default_rng(11)
+    n2, n2d, n1, ndl = 2, 2, 128, 128
+    det_s = np.where(rng.random((n2 * n2d, n1, ndl)) < 0.003,
+                     rng.random((n2 * n2d, n1, ndl)).astype(np.float32) + 1.0,
+                     0.0).astype(np.float32)
+    a = jax.tree.map(np.asarray, DET.topk_detections_sliced(
+        jnp.asarray(det_s), n2d=n2d))
+    det_map = _deinterleave(det_s, n2 * n1, n2d * ndl)
+    b = jax.tree.map(np.asarray,
+                     DET.topk_detections(jnp.asarray(det_map)))
+    assert a["n_dets"] == b["n_dets"]
+    sa = set(zip(a["range_bin"][a["valid"]].tolist(),
+                 a["doppler_bin"][a["valid"]].tolist(),
+                 a["mag"][a["valid"]].tolist()))
+    sb = set(zip(b["range_bin"][b["valid"]].tolist(),
+                 b["doppler_bin"][b["valid"]].tolist(),
+                 b["mag"][b["valid"]].tolist()))
+    assert sa == sb
+
+
+def test_longcpi_pipeline_fused_matches_unfused():
+    """End to end at the split shape: fused pipeline == the same kernel
+    front-end + standalone CFAR (fuse_detect=False) — identical det maps
+    and detection sets, including peak grouping and runtime controls."""
+    iq = _iq(P_BLOCK, seed=13)
+    for pgr in (0, 2):
+        fused = pl.make_processor(P_BLOCK, mode="float32", include_maps=True,
+                                  frontend="pallas", fuse_detect=True,
+                                  peak_group_radius=pgr)
+        plain = pl.make_processor(P_BLOCK, mode="float32", include_maps=True,
+                                  frontend="pallas", fuse_detect=False,
+                                  peak_group_radius=pgr)
+        for kw in ({}, {"scale_override": 6}, {"mti_bypass": True}):
+            a = jax.tree.map(np.asarray, fused(iq, **kw))
+            b = jax.tree.map(np.asarray, plain(iq, **kw))
+            assert a["n_dets"] == b["n_dets"] > 0, (pgr, kw)
+            assert np.array_equal(a["det_map"], b["det_map"])
+            da = set(zip(a["range_bin"][a["valid"]].tolist(),
+                         a["doppler_bin"][a["valid"]].tolist()))
+            db = set(zip(b["range_bin"][b["valid"]].tolist(),
+                         b["doppler_bin"][b["valid"]].tolist()))
+            assert da == db
