@@ -156,24 +156,27 @@ def main():
                        out["doppler_bin"][frame][v].tolist(),
                        out["mag"][frame][v].tolist()))
 
-    # Documented float tolerance: the fused kernel's bf16x3 FFTs match XLA
-    # Precision.HIGH's error model at ~1.6e-5 relative on the golden frame
-    # (docs/PERF_LOG.md "Fused Pallas front-end"); 1e-4 gives 6x margin.
-    FLOAT_MAG_RTOL = 1e-4
+    # Documented float tolerance: the fused kernel's bf16x3 FFT error is
+    # ABSOLUTE at the scale of the slow-time accumulation — i.e. it scales
+    # with the MAP PEAK, not with each cell's own magnitude (measured
+    # 8.8e-6 of peak worst-case across the frame-0 top-64 on hardware;
+    # docs/PERF_LOG.md r4).  1e-4 of peak gives ~10x margin.
+    FLOAT_MAG_PEAK_RTOL = 1e-4
 
     def float_gate(out, ref):
         """Strict float detection-set gate vs the per-cell reference config
         (frame 0): positions exactly equal — no missing AND no extra
-        detections — and every magnitude within FLOAT_MAG_RTOL.  One
-        allowance: the extractor keeps the top-64 detections of ~750
-        passing cells, so two near-equal noise cells can legitimately swap
-        across the rank-64 cutoff when magnitudes differ at the 1e-5
-        level; positions disagreeing ONLY within tolerance of the cutoff
-        magnitude are accepted (and logged)."""
+        detections — and every magnitude within FLOAT_MAG_PEAK_RTOL of the
+        map peak.  One allowance: the extractor keeps the top-64
+        detections of ~750 passing cells, so near-equal noise cells can
+        legitimately swap across the rank-64 cutoff under the peak-scaled
+        magnitude jitter; positions disagreeing ONLY within that tolerance
+        of the cutoff magnitude are accepted (and logged)."""
         gm = {(r, d): m for r, d, m in det_set(out)}
         rm = {(r, d): m for r, d, m in det_set(ref)}
-        tol = lambda m: FLOAT_MAG_RTOL * max(abs(m), 1.0)
-        mags_ok = all(abs(gm[k] - rm[k]) <= tol(rm[k])
+        peak = max(rm.values(), default=1.0)
+        tol = FLOAT_MAG_PEAK_RTOL * abs(peak)
+        mags_ok = all(abs(gm[k] - rm[k]) <= tol
                       for k in gm.keys() & rm.keys())
         diff = gm.keys() ^ rm.keys()
         if not diff:
@@ -181,11 +184,11 @@ def main():
         cutoff = min(min(gm.values(), default=0.0),
                      min(rm.values(), default=0.0))
         boundary = all(
-            abs((gm.get(k) if k in gm else rm[k]) - cutoff) <= tol(cutoff)
+            abs((gm.get(k) if k in gm else rm[k]) - cutoff) <= tol
             for k in diff)
         if boundary:
             log(f"  float gate: {len(diff)} top-64 boundary swaps within "
-                f"rtol of cutoff {cutoff:.1f} (accepted)")
+                f"{tol:.1f} of cutoff {cutoff:.1f} (accepted)")
         return mags_ok and boundary
 
     ref_out = None

@@ -410,7 +410,7 @@ def test_sharded_array_grouped_sliced_matches_single_chip():
     batch = _element_batch(p, n_elems, 2, seed0=37)
     kw = dict(n_elems=n_elems, n_beams=n_beams, peak_group_radius=2,
               beam_group_radius=1, frontend="pallas")
-    mesh = M.make_mesh(dp=1, sp=4)
+    mesh = M.make_mesh(dp=2, sp=4)
     proc = sh.make_sharded_array_processor(mesh, p, include_maps=True, **kw)
     out = jax.tree.map(np.asarray, proc(batch))
     single = pl.make_array_processor(p, include_maps=True, **kw)
