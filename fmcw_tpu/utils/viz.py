@@ -27,6 +27,25 @@ def bin_to_km(range_bin, n_range: int) -> np.ndarray:
     return np.asarray(range_bin, dtype=np.float64) * MAX_RANGE_KM / n_range
 
 
+def unwrap_range_q2(q2, n_range: int) -> np.ndarray:
+    """Undo the tracker's Q2 register wrap for display/analysis.
+
+    The reference's track record stores range as signed(11 downto 0) Q2
+    (tws_tracker.vhd:52) — only bins -512..511.75 are representable, so on
+    the full 1024-bin map every track beyond bin 512 logs NEGATIVE R=
+    values (an as-built quirk the bit-faithful tracker reproduces; the
+    reference's checked-in demo ran the 128x32 quick map and never hit
+    it).  Bins < 1024 map one-to-one onto the 12-bit space, so the
+    analysis layer recovers them exactly: q2 mod (4*n_range)."""
+    return np.mod(np.asarray(q2, dtype=np.int64), 4 * n_range)
+
+
+def unwrap_dopp_q2(q2, n_doppler: int) -> np.ndarray:
+    """Doppler twin of unwrap_range_q2: signed(8 downto 0) Q2
+    (tws_tracker.vhd:53) wraps bins >= 64 negative on the 128-bin map."""
+    return np.mod(np.asarray(q2, dtype=np.int64), 4 * n_doppler)
+
+
 def doppler_bin_to_mps(dopp_bin, n_doppler: int, prf: float = PRF_HZ,
                        centered: bool = True) -> np.ndarray:
     """Doppler bin -> radial m/s: v = (bin - N/2) * PRF * lambda / (2N)
@@ -113,7 +132,10 @@ def resolve_track_velocities(tracks: dict, n_doppler: int,
     for tid, t in tracks.items():
         latest = {}
         for s, dq2 in zip(t.scans, t.dopp_q2):
-            latest[s % len(prfs)] = dq2 / 4.0        # Q2 -> bins
+            # Q2 -> bins, undoing the 9-bit register wrap (bins >= 64 log
+            # negative on the full map — unwrap_dopp_q2).
+            latest[s % len(prfs)] = float(
+                unwrap_dopp_q2(dq2, n_doppler)) / 4.0
         if len(latest) < 2:
             continue
         idx = sorted(latest)
@@ -183,7 +205,8 @@ def render(det_path: str | None = None, trk_path: str | None = None,
         fig, axes = plt.subplots(1, 3, figsize=(16, 5))
         colors = plt.cm.tab10(np.linspace(0, 1, 10))
         for tid, t in tracks.items():
-            km = bin_to_km(np.asarray(t.range_q2) / 4.0, n_range)
+            km = bin_to_km(unwrap_range_q2(t.range_q2, n_range) / 4.0,
+                           n_range)
             axes[0].plot(t.scans, km, ".-", color=colors[tid % 10],
                          label=f"T{tid}")
             axes[1].plot(t.scans, t.quality, ".-", color=colors[tid % 10])

@@ -93,3 +93,26 @@ def test_quick_scenario_notch_survival_pinned():
     # recovers after it, and nothing established before the notch was lost.
     assert min(counts[6:9]) < counts[4]
     assert counts[-1] >= counts[4]
+
+
+def test_tracker_register_unwrap_roundtrip():
+    """The reference's Q2 track registers are signed 12/9-bit
+    (tws_tracker.vhd:52-53): on the full 1024x128 map, range bins >= 512
+    and Doppler bins >= 64 log NEGATIVE values.  The analysis-layer
+    unwrap recovers every on-map bin exactly (one-to-one for n_range <=
+    1024 / n_doppler <= 128)."""
+    def wrap(v, bits):
+        m = 1 << bits
+        return ((np.asarray(v) + (m >> 1)) % m) - (m >> 1)
+
+    rq2 = np.arange(1024) * 4 + 3               # every range bin, Q2 + frac
+    wrapped = wrap(rq2, 12)
+    assert wrapped.min() < 0                    # the hardware really wraps
+    assert np.array_equal(viz.unwrap_range_q2(wrapped, 1024), rq2)
+    dq2 = np.arange(128) * 4 + 1
+    wd = wrap(dq2, 9)
+    assert wd.min() < 0
+    assert np.array_equal(viz.unwrap_dopp_q2(wd, 128), dq2)
+    # Small maps never wrap; unwrap is the identity there.
+    assert np.array_equal(viz.unwrap_range_q2(np.arange(128) * 4, 128),
+                          np.arange(128) * 4)

@@ -198,8 +198,12 @@ def main():
             det_d = out["doppler_bin"][v].astype(np.float64)
             prf_idx = (scan - 1) % len(cfg.prf_hz)
             for i in ids:
-                tr = rep["range_pos"][i] / 4.0
-                td = rep["dopp_pos"][i] / 4.0
+                # Undo the tracker's 12/9-bit Q2 register wrap (bins >= 512
+                # / >= 64 log negative on the full map; viz.unwrap_*_q2).
+                tr = float(viz.unwrap_range_q2(rep["range_pos"][i],
+                                               p.n_range)) / 4.0
+                td = float(viz.unwrap_dopp_q2(rep["dopp_pos"][i],
+                                              p.n_doppler)) / 4.0
                 dist = np.abs(det_r - tr) + np.abs(det_d - td)
                 j = int(np.argmin(dist))
                 if (abs(det_r[j] - tr) <= p.tracker.assoc_gate_r
