@@ -660,16 +660,18 @@ def make_array_processor(params: RadarParams | None = None,
                 # Cross-beam grouping compares the SAME cell across beams,
                 # and the sliced layout is one fixed permutation shared by
                 # every beam — so it runs directly on the det slices (no
-                # de-interleave transpose).  The kernel's row maxes are
-                # stale after grouping; one lane-reduce recomputes them and
-                # the extraction keeps the row-select reduction
-                # (docs/PERF_LOG.md round 4).
-                det_g = C.peak_group_beams(
+                # de-interleave transpose), as ONE Pallas pass that also
+                # emits the post-group row maxes and detection count
+                # (cfar_pallas.peak_group_beams_pallas) — XLA reads back
+                # only the 64 winning rows (docs/PERF_LOG.md round 4).
+                from ..ops.cfar_pallas import peak_group_beams_pallas
+                det_g, rmax2, nd2 = peak_group_beams_pallas(
                     det_s.reshape(n_beams, sl, ndl),
-                    radius=beam_group_radius)
+                    radius=beam_group_radius,
+                    interpret=jax.default_backend() != "tpu")
                 flat = det_g.reshape(n_beams * sl, ndl)
                 out.update(DET.topk_detections(
-                    flat, max_dets=max_dets, row_max=jnp.max(flat, axis=1)))
+                    flat, max_dets=max_dets, row_max=rmax2, n_dets=nd2))
                 remap(out)
                 if include_maps:
                     out["mag_cube"] = mag_s

@@ -898,9 +898,22 @@ def peak_group_beams(det_cube: jnp.ndarray, radius: int = 1,
     direction uses global beam order."""
     m = det_cube
     B = m.shape[0]
-    b_ids = (jnp.arange(B) if beam_ids is None
-             else beam_ids.astype(jnp.int32))
     keep = m > 0
+    if beam_ids is None:
+        # Contiguous-id fast path (the single-chip / fused model case):
+        # neighbors are plain shifted views with zero-filled edges — the
+        # zero fill IS the edge semantics (a missing neighbor never beats
+        # m > 0), and beam order equals index order, so no id planes, no
+        # validity masks, no rolls.  ~3x fewer materialized map-sized
+        # intermediates than the general path (docs/PERF_LOG.md r4).
+        z = jnp.zeros_like(m[:1])
+        for o in range(1, radius + 1):
+            up = jnp.concatenate([m[o:]] + [z] * o, axis=0)     # beam b+o
+            dn = jnp.concatenate([z] * o + [m[:-o]], axis=0)    # beam b-o
+            # Tie toward the lower beam: a lower-index neighbor wins equals.
+            keep &= (m >= up) & (m > dn)
+        return jnp.where(keep, m, jnp.zeros_like(m))
+    b_ids = beam_ids.astype(jnp.int32)
     for o in range(-radius, radius + 1):
         if o == 0:
             continue

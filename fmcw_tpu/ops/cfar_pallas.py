@@ -789,3 +789,79 @@ def cfar_3d_pallas_detect(cube: jnp.ndarray,
         return det32.astype(cube.dtype), scale_out.astype(sdt)
     return (jax.lax.bitcast_convert_type(det32, jnp.float32),
             scale_out.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Beam-axis peak-grouping kernel (array model, contiguous beam ids)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_beam_group(*refs, n_beams: int, radius: int):
+    """Cross-beam peak grouping (ops/cfar.peak_group_beams fast-path
+    semantics) as ONE kernel pass per beam: inputs are the 2*radius+1
+    beam-neighbor views of the det stack (index maps clamped at the
+    edges; clamped-out neighbors are masked to zero in-kernel — a missing
+    neighbor never beats a detection), outputs the grouped plane PLUS the
+    per-row maxes and per-row nonzero counts the top-K extraction needs —
+    so XLA never re-reads the grouped stack (the r4 XLA formulation's
+    ~3x map-sized materializations collapse to one read + one write,
+    docs/PERF_LOG.md)."""
+    b = pl.program_id(0)
+    nb_refs = refs[:2 * radius + 1]
+    det_ref, rmax_ref, cnt_ref = refs[2 * radius + 1:]
+    m = nb_refs[radius][0]
+    keep = m > 0.0
+    for o in range(1, radius + 1):
+        up = nb_refs[radius + o][0]
+        dn = nb_refs[radius - o][0]
+        zero = jnp.zeros_like(m)
+        # Clamped edge neighbors read the edge beam itself — mask them out.
+        up = jnp.where(b + o <= n_beams - 1, up, zero)
+        dn = jnp.where(b - o >= 0, dn, zero)
+        # Tie toward the lower beam: a lower-index neighbor wins equals.
+        keep &= (m >= up) & (m > dn)
+    g = jnp.where(keep, m, jnp.zeros_like(m))
+    det_ref[0] = g
+    rmax_ref[0] = jnp.max(g, axis=1, keepdims=True)
+    cnt_ref[0] = jnp.sum(keep.astype(jnp.int32), axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def peak_group_beams_pallas(det: jnp.ndarray, radius: int = 1,
+                            interpret: bool = False):
+    """Kernel twin of ops/cfar.peak_group_beams (beam_ids=None fast path)
+    over a (n_beams, rows, lanes) det stack — bit-identical grouping, plus
+    the extraction epilogues: returns ``(det_g, row_max (n_beams*rows,),
+    n_dets int32)`` ready for ops/detect.topk_detections(row_max=...,
+    n_dets=...).  Layout-agnostic (rows may be map rows or the fused
+    kernel's sliced rows — grouping only compares the SAME cell across
+    beams)."""
+    B, R, D = det.shape
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+
+    def nb_spec(o):
+        return pl.BlockSpec(
+            (1, R, D),
+            lambda b, o=o: (jnp.clip(b + o, 0, B - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [nb_spec(o) for o in range(-radius, radius + 1)]
+    out_specs = [
+        vmem((1, R, D), lambda b: (b, 0, 0)),
+        vmem((1, R, 1), lambda b: (b, 0, 0)),
+        vmem((1, R, 1), lambda b: (b, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, R, D), det.dtype),
+        jax.ShapeDtypeStruct((B, R, 1), det.dtype),
+        jax.ShapeDtypeStruct((B, R, 1), jnp.int32),
+    ]
+    det_g, rmax, cnt = pl.pallas_call(
+        functools.partial(_kernel_beam_group, n_beams=B, radius=radius),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*([det] * (2 * radius + 1)))
+    return det_g, rmax.reshape(B * R), jnp.sum(cnt)

@@ -279,3 +279,49 @@ def test_array_grouping_fused_matches_xla():
         for beams in cells.values():
             beams = sorted(beams)
             assert all(b2 - b1 > 1 for b1, b2 in zip(beams, beams[1:]))
+
+
+def test_peak_group_beams_fast_path_equals_general():
+    """The contiguous-id fast path (zero-filled shifted views, r4) is
+    bit-identical to the general beam_ids formulation on random sparse
+    cubes — ties, edges, radii 1..3."""
+    import jax.numpy as jnp
+    from fmcw_tpu.ops.cfar import peak_group_beams
+
+    rng = np.random.default_rng(23)
+    for _ in range(4):
+        B, R, D = 8, 16, 8
+        det = np.where(rng.random((B, R, D)) < 0.1,
+                       rng.integers(1, 5, (B, R, D)).astype(np.float32),
+                       0.0)                      # dense ties (values 1..4)
+        for radius in (1, 2, 3):
+            fast = np.asarray(peak_group_beams(jnp.asarray(det),
+                                               radius=radius))
+            general = np.asarray(peak_group_beams(
+                jnp.asarray(det), radius=radius,
+                beam_ids=jnp.arange(B)))
+            assert np.array_equal(fast, general), radius
+
+
+def test_peak_group_beams_pallas_kernel_matches_xla():
+    """The grouping kernel (cfar_pallas.peak_group_beams_pallas) is
+    bit-identical to peak_group_beams on random sparse stacks with dense
+    ties, and its row-max / count epilogues are exact."""
+    import jax.numpy as jnp
+    from fmcw_tpu.ops.cfar import peak_group_beams
+    from fmcw_tpu.ops.cfar_pallas import peak_group_beams_pallas
+
+    rng = np.random.default_rng(41)
+    for radius in (1, 2):
+        B, R, D = 8, 64, 128
+        det = np.where(rng.random((B, R, D)) < 0.05,
+                       rng.integers(1, 6, (B, R, D)).astype(np.float32),
+                       0.0)
+        want = np.asarray(peak_group_beams(jnp.asarray(det), radius=radius))
+        got, rmax, nd = peak_group_beams_pallas(jnp.asarray(det),
+                                                radius=radius,
+                                                interpret=True)
+        assert np.array_equal(np.asarray(got), want), radius
+        assert np.array_equal(np.asarray(rmax),
+                              want.reshape(B * R, D).max(axis=1))
+        assert int(nd) == int((want > 0).sum())
