@@ -217,3 +217,30 @@ def test_longcpi_pipeline_fused_matches_unfused():
             db = set(zip(b["range_bin"][b["valid"]].tolist(),
                          b["doppler_bin"][b["valid"]].tolist()))
             assert da == db
+
+
+@pytest.mark.slow
+def test_longcpi_production_shape_fused_matches_unfused():
+    """The BASELINE config-2 production shape itself (1024 x 256, n2r = 8
+    x n2d = 2): fused detect == same-kernel front-end + standalone CFAR,
+    golden targets found.  The small-shape tests above cover the layout
+    logic; this pins the exact shape the throughput claim is made at."""
+    p = RadarParams(n_doppler=256)
+    p = p.replace(cfar=dataclasses.replace(p.cfar, scale_mode="block"))
+    assert pl.fused_detect_supported(p)
+    iq = _iq(p, seed=2)
+    fused = pl.make_processor(p, mode="float32", include_maps=False,
+                              frontend="pallas", fuse_detect=True)
+    plain = pl.make_processor(p, mode="float32", include_maps=False,
+                              frontend="pallas", fuse_detect=False)
+    a = jax.tree.map(np.asarray, fused(iq))
+    b = jax.tree.map(np.asarray, plain(iq))
+    assert a["n_dets"] == b["n_dets"] > 0
+    da = set(zip(a["range_bin"][a["valid"]].tolist(),
+                 a["doppler_bin"][a["valid"]].tolist()))
+    db = set(zip(b["range_bin"][b["valid"]].tolist(),
+                 b["doppler_bin"][b["valid"]].tolist()))
+    assert da == db
+    rb = a["range_bin"][a["valid"]]
+    assert any(abs(int(r) - 100) <= 2 for r in rb)
+    assert any(abs(int(r) - 500) <= 2 for r in rb)
