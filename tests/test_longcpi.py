@@ -244,3 +244,58 @@ def test_longcpi_production_shape_fused_matches_unfused():
     rb = a["range_bin"][a["valid"]]
     assert any(abs(int(r) - 100) <= 2 for r in rb)
     assert any(abs(int(r) - 500) <= 2 for r in rb)
+
+
+def test_longcpi_random_geometry_fuzz():
+    """Randomized CFAR window geometries on the split layout (odd halos,
+    zero guards, asymmetric windows): fused detect stays bit-exact vs the
+    standalone counting kernel on the kernel's own mag — hardening the
+    (parity, carry) addressing beyond the default geometry."""
+    from fmcw_tpu.params import CfarParams
+    from fmcw_tpu.ops.cfar_pallas import cfar_2d_pallas_detect
+
+    rng = np.random.default_rng(19)
+    for trial in range(4):
+        cfar = CfarParams(
+            ref_range=int(rng.integers(1, 5)),
+            ref_doppler=int(rng.integers(1, 5)),
+            guard_range=int(rng.integers(0, 3)),
+            guard_doppler=int(rng.integers(0, 3)))
+        p = P.replace(cfar=cfar)
+        iq = _iq(p, seed=100 + trial)
+        det_s, mag, _, _, n_dets = rdm_frontend(
+            jnp.asarray(iq), jnp.asarray(False), interpret=True,
+            cfar=p.cfar, detect=True,
+            scale_override=jnp.asarray(0, jnp.int32))
+        want, _ = cfar_2d_pallas_detect(mag, jnp.asarray(0, jnp.int32),
+                                        cfar=p.cfar, interpret=True)
+        got = _deinterleave(det_s, p.n_range, p.n_doppler)
+        assert np.array_equal(got, np.asarray(want)), cfar
+        assert int(n_dets) == int((got > 0).sum())
+
+
+@pytest.mark.slow
+def test_longcpi_n2d4_bitexact():
+    """Four parity planes (n_doppler = 512, n2d = 4): lane carries span
+    multiple planes per Doppler offset; fused per-cell detect + grouping
+    stay bit-exact vs the standalone kernels."""
+    from fmcw_tpu.ops import cfar as C
+    from fmcw_tpu.ops.cfar_pallas import cfar_2d_pallas_detect
+
+    p = RadarParams(n_range=256, n_doppler=512)
+    iq = _iq(p, seed=8)
+    det_s, mag, _, _, n_dets = rdm_frontend(
+        jnp.asarray(iq), jnp.asarray(False), interpret=True, cfar=p.cfar,
+        detect=True, scale_override=jnp.asarray(0, jnp.int32))
+    want, _ = cfar_2d_pallas_detect(mag, jnp.asarray(0, jnp.int32),
+                                    cfar=p.cfar, interpret=True)
+    got = _deinterleave(det_s, p.n_range, p.n_doppler)
+    assert np.array_equal(got, np.asarray(want))
+    assert int(n_dets) == int((got > 0).sum()) > 0
+    det_g, _, _, _, _ = rdm_frontend(
+        jnp.asarray(iq), jnp.asarray(False), interpret=True, cfar=p.cfar,
+        detect=True, scale_override=jnp.asarray(0, jnp.int32),
+        peak_group_radius=2)
+    want_g = C.peak_group(jnp.asarray(got), radius=2)
+    assert np.array_equal(_deinterleave(det_g, p.n_range, p.n_doppler),
+                          np.asarray(want_g))

@@ -5,9 +5,9 @@ control vs the 1024x256 long-CPI shape in ONE run (the tunnel's phase
 swings make cross-run ratios meaningless), with a detection-parity gate
 per config (fused vs the XLA chain on frame 0).  The r4 Doppler split
 (ops/frontend_pallas._ct_split_rows) activates automatically at 256
-chirps; ``--dense`` forces batch sizes only (the split has no opt-out —
-compare against the r2 recorded 74% per-sample efficiency instead,
-docs/PERF_LOG.md "256-chirp CPI").
+chirps and has no opt-out — the dense-operator baseline is the r2
+recorded 74% per-sample efficiency (docs/PERF_LOG.md "256-chirp CPI");
+the r4 split measured 1.09 (same file).
 
 Run: python tools/longcpi_ab.py [--batch 128] [--batch-long 64]
 """
