@@ -299,3 +299,56 @@ def test_longcpi_n2d4_bitexact():
     want_g = C.peak_group(jnp.asarray(got), radius=2)
     assert np.array_equal(_deinterleave(det_g, p.n_range, p.n_doppler),
                           np.asarray(want_g))
+
+
+@pytest.mark.slow
+def test_longcpi_array_model_fused_matches_xla():
+    """Array model at a long CPI (8 beams, 256x256, n2d = 2): the fused
+    per-beam kernel's doubly-interleaved coordinate remap (beam / range /
+    doppler) agrees with the XLA chain at the set level, and the grouped
+    extraction recomposes exactly from its own det cube."""
+    from fmcw_tpu.ops import detect as DET
+
+    rng = np.random.default_rng(29)
+    z = np.asarray(reference.two_target_frame(P, seed=29,
+                                              targets=((60, 200, 12000),)))
+    iq = np.stack([pl.complex_to_iq(
+        z * np.exp(2j * np.pi * 0.5 * e * 0.3)
+        + rng.normal(0, 8, z.shape) + 1j * rng.normal(0, 8, z.shape))
+        for e in range(8)])
+    kw = dict(n_elems=8, n_beams=8)
+    a = jax.tree.map(np.asarray, pl.make_array_processor(
+        P, frontend="xla", **kw)(iq))
+    b = jax.tree.map(np.asarray, pl.make_array_processor(
+        P, frontend="pallas", **kw)(iq))
+    da = set(zip(a["beam_bin"][a["valid"]].tolist(),
+                 a["range_bin"][a["valid"]].tolist(),
+                 a["doppler_bin"][a["valid"]].tolist()))
+    db = set(zip(b["beam_bin"][b["valid"]].tolist(),
+                 b["range_bin"][b["valid"]].tolist(),
+                 b["doppler_bin"][b["valid"]].tolist()))
+    assert da and db
+    assert len(da ^ db) <= max(2, len(da) // 8)       # near-tie flips only
+    assert (int(a["beam_bin"][0]), int(a["range_bin"][0]),
+            int(a["doppler_bin"][0])) == (int(b["beam_bin"][0]),
+                                          int(b["range_bin"][0]),
+                                          int(b["doppler_bin"][0]))
+
+    # Grouped: the sliced+kernel extraction == flat top-K on the returned
+    # (de-interleaved, grouped) det cube — exact, same kernel outputs.
+    g = jax.tree.map(np.asarray, pl.make_array_processor(
+        P, frontend="pallas", peak_group_radius=2, beam_group_radius=1,
+        include_maps=True, **kw)(iq))
+    det = jnp.asarray(g["det_cube"])
+    flat = det.reshape(8 * P.n_range, P.n_doppler)
+    want = jax.tree.map(np.asarray, DET.topk_detections(flat, max_dets=64))
+    got = set(zip(g["beam_bin"][g["valid"]].tolist(),
+                  g["range_bin"][g["valid"]].tolist(),
+                  g["doppler_bin"][g["valid"]].tolist(),
+                  g["mag"][g["valid"]].tolist()))
+    exp = set(zip((want["range_bin"][want["valid"]] // P.n_range).tolist(),
+                  (want["range_bin"][want["valid"]] % P.n_range).tolist(),
+                  want["doppler_bin"][want["valid"]].tolist(),
+                  want["mag"][want["valid"]].tolist()))
+    assert got == exp
+    assert int(g["n_dets"]) == int(want["n_dets"])
