@@ -570,7 +570,7 @@ def _kernel_detect_3d(cut_ref, padded_ref, so_ref, det_ref, scale_ref,
                       rot_ref, *, cfar: CfarParams, integer: bool,
                       offsets, n_ref: int, rank_idx: int, tile_rows: int,
                       rows_per_plane: int, plane_stride: int, ha: int,
-                      exact_div: bool = True):
+                      guard_angle: int = 0, exact_div: bool = True):
     """cfar_3d's per-cell decision by counting, on a flattened (angle,
     range)-row layout.
 
@@ -614,13 +614,38 @@ def _kernel_detect_3d(cut_ref, padded_ref, so_ref, det_ref, scale_ref,
     conv = (lambda v: v) if integer else fval
     zero = jnp.zeros((tile_rows, D), jnp.int32)
 
-    # Pass A: training-set mean (sum over all offsets; integer sums are
-    # association-order-free, float matches cfar_3d only decision-
-    # equivalently — same contract as the 2D kernels vs the XLA OS branch).
-    sum_refs = None
-    for da, dr, dd in offsets:
-        v = conv(view(da, dr, dd))
-        sum_refs = v if sum_refs is None else sum_refs + v
+    # Pass A: training-set mean.  Integer sums are association-order-free
+    # and float matches cfar_3d only decision-equivalently (the 2D kernels'
+    # contract vs the XLA OS branch), so under WRAP edges the sum runs
+    # separably — per-plane dr-column sums reused across dd via lane rolls
+    # (a roll of the dd=0 column IS the wrap-padded read), full window
+    # minus the <=guard_angle planes' guard boxes: ~100 plane-ops instead
+    # of n_ref (r4; the 414-offset direct loop was ~17% of the kernel).
+    # Reflect edges keep the direct loop (a lane roll is not a reflect
+    # read).
+    gr, gd = cfar.guard_range, cfar.guard_doppler
+    if cfar.edge_mode == "wrap":
+        D_ = cut_ref.shape[1]
+        sum_refs = None
+        for da in das:
+            col = None
+            for dr in range(-hr, hr + 1):
+                v = conv(view(da, dr, 0))
+                col = v if col is None else col + v
+            for dd in range(-hd, hd + 1):
+                t = col if dd == 0 else pltpu.roll(col, (-dd) % D_, axis=1)
+                sum_refs = t if sum_refs is None else sum_refs + t
+        for da in das:
+            if abs(da) > guard_angle:
+                continue
+            for dd in range(-gd, gd + 1):
+                for dr in range(-gr, gr + 1):
+                    sum_refs = sum_refs - conv(view(da, dr, dd))
+    else:
+        sum_refs = None
+        for da, dr, dd in offsets:
+            v = conv(view(da, dr, dd))
+            sum_refs = v if sum_refs is None else sum_refs + v
     if integer:
         mean = sum_refs // n_ref
         t_hi = mean + (mean >> 1)
@@ -752,7 +777,7 @@ def cfar_3d_pallas_detect(cube: jnp.ndarray,
             _kernel_detect_3d, cfar=cfar, integer=integer, offsets=offsets,
             n_ref=n_ref, rank_idx=rank_idx, tile_rows=tile_rows,
             rows_per_plane=R, plane_stride=plane_stride, ha=ha,
-            exact_div=int_bits <= 24),
+            guard_angle=guard_angle, exact_div=int_bits <= 24),
         grid=(A * R // tile_rows,),
         in_specs=[
             block,
