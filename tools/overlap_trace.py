@@ -61,6 +61,25 @@ def main():
     out = proc(batch)
     np.asarray(out["n_dets"])                      # warm/compile
 
+    # Correctness gate on the traced full-size sharded execution: frame 0's
+    # detection set must equal the single-chip pipeline's (the r4
+    # production-shape parity contract — a profiling run must not measure
+    # a wrong program).
+    single = pl.make_processor(p, mode="float32", frontend="xla",
+                               include_maps=False)
+    ref_out = jax.tree.map(np.asarray, single(batch[0]))
+    got = jax.tree.map(np.asarray, proc(batch[:1]))
+    v_s, v_r = got["valid"][0], ref_out["valid"]
+    dets_s = set(zip(got["range_bin"][0][v_s].tolist(),
+                     got["doppler_bin"][0][v_s].tolist()))
+    dets_r = set(zip(ref_out["range_bin"][v_r].tolist(),
+                     ref_out["doppler_bin"][v_r].tolist()))
+    assert dets_s == dets_r, (
+        f"sharded full-size detections diverge from single chip: "
+        f"{sorted(dets_s ^ dets_r)[:8]}")
+    print(f"parity gate: {len(dets_s)} frame-0 detections == single chip",
+          file=sys.stderr)
+
     tdir = tempfile.mkdtemp(prefix="fmcw_trace_")
     with jax.profiler.trace(tdir, create_perfetto_trace=True):
         t0 = time.perf_counter()
