@@ -94,6 +94,10 @@ def _fused_geometry_ok(p: RadarParams, peak_group_radius: int,
             and p.cfar.variant in ("os", "ca", "go", "so")
             and p.cfar.halo_range <= 8 * (p.n_range // 128)
             and peak_group_radius <= 8
+            # Long-CPI Doppler split: outer radix capped at 16 (the same
+            # bound as the range axis) — 'auto' must not resolve into a
+            # trace-time rejection.
+            and not (p.n_doppler % 128 == 0 and p.n_doppler // 128 > 16)
             and not include_debug and cfar_method in ("auto", "pallas"))
 
 
