@@ -41,7 +41,7 @@ def main():
     argv = sys.argv[1:]
     b_ctrl = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 128
     b_long = (int(argv[argv.index("--batch-long") + 1])
-              if "--batch-long" in argv else 64)
+              if "--batch-long" in argv else 128)
     log(f"devices: {jax.devices()}")
 
     rng = np.random.default_rng(0)
