@@ -352,3 +352,30 @@ def test_longcpi_array_model_fused_matches_xla():
                   want["mag"][want["valid"]].tolist()))
     assert got == exp
     assert int(g["n_dets"]) == int(want["n_dets"])
+
+
+def test_longcpi_single_range_slice():
+    """n_range = 128 (n2 = 1, no range interleave) with n2d = 2 parity
+    planes: the kernel skips the range outer DFT and the detect epilogue's
+    row carries address the sublane pad directly — still bit-exact vs the
+    standalone kernel, grouping included."""
+    from fmcw_tpu.ops.cfar_pallas import cfar_2d_pallas_detect
+    from fmcw_tpu.ops import cfar as C
+
+    p = RadarParams(n_range=128, n_doppler=256)
+    iq = _iq(p, seed=6)
+    det_s, mag, _, _, n_dets = rdm_frontend(
+        jnp.asarray(iq), jnp.asarray(False), interpret=True, cfar=p.cfar,
+        detect=True, scale_override=jnp.asarray(0, jnp.int32))
+    want, _ = cfar_2d_pallas_detect(mag, jnp.asarray(0, jnp.int32),
+                                    cfar=p.cfar, interpret=True)
+    got = _deinterleave(det_s, p.n_range, p.n_doppler)
+    assert np.array_equal(got, np.asarray(want))
+    assert int(n_dets) == int((got > 0).sum()) > 0
+    det_g, _, _, _, _ = rdm_frontend(
+        jnp.asarray(iq), jnp.asarray(False), interpret=True, cfar=p.cfar,
+        detect=True, scale_override=jnp.asarray(0, jnp.int32),
+        peak_group_radius=2)
+    want_g = C.peak_group(jnp.asarray(got), radius=2)
+    assert np.array_equal(_deinterleave(det_g, p.n_range, p.n_doppler),
+                          np.asarray(want_g))
