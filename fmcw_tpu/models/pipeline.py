@@ -168,8 +168,11 @@ def fused_detect_frame(p: RadarParams, iq, mti_bypass, scale_override, *,
             transient=mti_transient, coef_width=p.coef_width,
             window_rounding=window_rounding, interpret=interp, cfar=p.cfar,
             emit_mag=include_maps, peak_group_radius=peak_group_radius)
+        n2 = max(p.n_range // 128, 1)
+        n2d = det_s.shape[0] // n2    # > 1 on the long-CPI Doppler split
         out = DET.topk_detections_sliced(det_s, max_dets=max_dets,
-                                         row_max=row_max, n_dets=n_dets)
+                                         row_max=row_max, n_dets=n_dets,
+                                         n2d=n2d)
         # Match the XLA fixed chain's integer dtypes (the kernel carries
         # integer values in f32).
         out["mag"] = out["mag"].astype(jnp.int32)
@@ -177,8 +180,11 @@ def fused_detect_frame(p: RadarParams, iq, mti_bypass, scale_override, *,
         out["nonfinite_count"] = jnp.int32(0)
         if include_maps:
             out["mag_map"] = mag.astype(jnp.int32)
-            out["det_map"] = jnp.swapaxes(det_s, 0, 1).reshape(
-                p.n_range, p.n_doppler).astype(jnp.int32)
+            ndl = p.n_doppler // n2d
+            out["det_map"] = jnp.transpose(
+                det_s.reshape(n2, n2d, min(p.n_range, 128), ndl),
+                (2, 0, 3, 1)).reshape(p.n_range,
+                                      p.n_doppler).astype(jnp.int32)
         return out
     from ..ops.frontend_pallas import rdm_frontend
     det_s, mag, nonfinite, row_max, n_dets = rdm_frontend(

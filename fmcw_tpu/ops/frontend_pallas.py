@@ -816,7 +816,8 @@ def _kernel_fixed(re_ref, im_ref, winr_ref, wind_ref, twr_ref, twi_ref,
                   ctl_ref, *rest,
                   n1: int, n2: int, c2r, c2i, cfar, notch_mode: int,
                   transient: str, rnd: int, shift: int,
-                  emit_mag: bool, peak_radius: int, emit_topk: bool):
+                  emit_mag: bool, peak_radius: int, emit_topk: bool,
+                  n2d: int = 1, d2r=None, d2i=None):
     """Fixed-point (bit-faithful) fused front-end: the integer semantics of
     models/pipeline.fixed_path — int Q15 windows with saturation counting
     (window_multiplier.vhd:119-163), FFTs at bf16x6 (== XLA
@@ -831,6 +832,15 @@ def _kernel_fixed(re_ref, im_ref, winr_ref, wind_ref, twr_ref, twi_ref,
     like the XLA fixed chain.
     """
     rest = list(rest)
+    if n2d > 1:
+        # Long-CPI split (mirrors _kernel): the cd*/sd* slots carry the
+        # DFT_128 3-way splits; per-row twiddle columns arrive as extra
+        # VMEM operands.  MTI/window were always elementwise here, so only
+        # the Doppler DFT contraction changes — the BFP barrier's per-range
+        # exponent is taken across all parity planes, exactly the dense
+        # formulation's per-row peak.
+        dtwr_ref = rest.pop(0)
+        dtwi_ref = rest.pop(0)
     det_ref = rest.pop(0)
     mag_ref = rest.pop(0) if emit_mag else None
     stats_ref = rest.pop(0)
@@ -929,22 +939,8 @@ def _kernel_fixed(re_ref, im_ref, winr_ref, wind_ref, twr_ref, twi_ref,
     wd = wind_ref[...]                                 # (nd, 1) int32
     mags = []
     sat_d = jnp.zeros((), jnp.int32)
-    for k2 in range(n2):
-        # 6. quantize + MTI + integer Doppler window.
-        xr, s1 = iwin(mti(qz(rr_s[k2], bsc)).astype(jnp.int32), wd)
-        xi, s2 = iwin(mti(qz(ri_s[k2], bsc)).astype(jnp.int32), wd)
-        sat_d = sat_d + s1 + s2
-        # 7. Doppler DFT (contract chirps, bf16x6) -> (n1, nd) range-major.
-        yr = (mm6(xr, cdh_ref, cdm_ref, cdl_ref, dn0)
-              - mm6(xi, sdh_ref, sdm_ref, sdl_ref, dn0))
-        yi = (mm6(xr, sdh_ref, sdm_ref, sdl_ref, dn0)
-              + mm6(xi, cdh_ref, cdm_ref, cdl_ref, dn0))
-        # 8. BFP quantize per range bin (axis=1 over Doppler).
-        pkd = jnp.max(jnp.maximum(jnp.abs(yr), jnp.abs(yi)), axis=1,
-                      keepdims=True)
-        scd = _bfp_scale(pkd)
-        yr = qz(yr, scd)
-        yi = qz(yi, scd)
+
+    def int_mag(yr, yi, plane_idx):
         # 9. Integer alpha-max-beta-min: max + (min>>2) + (min>>3)
         # (ops/magnitude.magnitude_fixed; exact floors on int-valued f32).
         ar = jnp.abs(yr)
@@ -953,17 +949,70 @@ def _kernel_fixed(re_ref, im_ref, winr_ref, wind_ref, twr_ref, twi_ref,
         mn = jnp.minimum(ar, ai)
         m = mx + jnp.floor(mn * 0.25) + jnp.floor(mn * 0.125)
         if mag_ref is not None:
-            mag_ref[k2] = m
+            mag_ref[plane_idx] = m
         mags.append(m)
 
+    for k2 in range(n2):
+        # 6. quantize + MTI + integer Doppler window.
+        xr, s1 = iwin(mti(qz(rr_s[k2], bsc)).astype(jnp.int32), wd)
+        xi, s2 = iwin(mti(qz(ri_s[k2], bsc)).astype(jnp.int32), wd)
+        sat_d = sat_d + s1 + s2
+        if n2d == 1:
+            # 7. Doppler DFT (contract chirps, bf16x6) -> (n1, nd)
+            # range-major.
+            yr = (mm6(xr, cdh_ref, cdm_ref, cdl_ref, dn0)
+                  - mm6(xi, sdh_ref, sdm_ref, sdl_ref, dn0))
+            yi = (mm6(xr, sdh_ref, sdm_ref, sdl_ref, dn0)
+                  + mm6(xi, cdh_ref, cdm_ref, cdl_ref, dn0))
+            # 8. BFP quantize per range bin (axis=1 over Doppler).
+            pkd = jnp.max(jnp.maximum(jnp.abs(yr), jnp.abs(yi)), axis=1,
+                          keepdims=True)
+            scd = _bfp_scale(pkd)
+            int_mag(qz(yr, scd), qz(yi, scd), k2)
+        else:
+            # 7'. Row-block Cooley-Tukey Doppler DFT at bf16x6 (the float
+            # kernel's split; Doppler bins land on parity planes).
+            n1d = nd // n2d
+            planes = []
+            for k2d in range(n2d):
+                br = bi = None
+                for j2 in range(n2d):
+                    xbr = xr[j2 * n1d:(j2 + 1) * n1d, :]
+                    xbi = xi[j2 * n1d:(j2 + 1) * n1d, :]
+                    cr_, ci_ = float(d2r[j2, k2d]), float(d2i[j2, k2d])
+                    tr = xbr * cr_ - xbi * ci_
+                    ti = xbr * ci_ + xbi * cr_
+                    br = tr if br is None else br + tr
+                    bi = ti if bi is None else bi + ti
+                if k2d > 0:
+                    twc_r = dtwr_ref[pl.ds(k2d * n1d, n1d)]
+                    twc_i = dtwi_ref[pl.ds(k2d * n1d, n1d)]
+                    br, bi = (br * twc_r - bi * twc_i,
+                              br * twc_i + bi * twc_r)
+                yr = (mm6(br, cdh_ref, cdm_ref, cdl_ref, dn0)
+                      - mm6(bi, sdh_ref, sdm_ref, sdl_ref, dn0))
+                yi = (mm6(br, sdh_ref, sdm_ref, sdl_ref, dn0)
+                      + mm6(bi, cdh_ref, cdm_ref, cdl_ref, dn0))
+                planes.append((yr, yi))
+            # 8'. BFP per range bin: the per-row peak spans the FULL
+            # Doppler spectrum = max across all parity planes' rows.
+            pkd = None
+            for yr, yi in planes:
+                pm = jnp.max(jnp.maximum(jnp.abs(yr), jnp.abs(yi)), axis=1,
+                             keepdims=True)
+                pkd = pm if pkd is None else jnp.maximum(pkd, pm)
+            scd = _bfp_scale(pkd)
+            for k2d, (yr, yi) in enumerate(planes):
+                int_mag(qz(yr, scd), qz(yi, scd), k2 * n2d + k2d)
+
     # 10. Integer CFAR decision (+ peak grouping) on the VMEM slices.
-    scale = (_block_scale(mags, n2=n2, cfar=cfar, integer=True)
+    scale = (_block_scale(mags, n2=n2, cfar=cfar, integer=True, n2d=n2d)
              if cfar.scale_mode == "block" else None)
     _detect_epilogue(mags, scale, so, det_ref, rot_ref, n2=n2, cfar=cfar,
-                     peak_radius=peak_radius, integer=True)
+                     peak_radius=peak_radius, integer=True, n2d=n2d)
     ndet = jnp.zeros((), jnp.int32)
     if emit_topk:
-        for k2 in range(n2):
+        for k2 in range(n2 * n2d):
             d = det_ref[k2]
             rmax_ref[k2] = jnp.max(d, axis=1, keepdims=True)
             ndet = ndet + jnp.sum((d > 0.0).astype(jnp.int32))
@@ -1005,15 +1054,24 @@ def rdm_frontend_fixed(iq: jnp.ndarray, mti_bypass=False,
     n1, n2, c2r, c2i, twr, twi = _ct_split(nr)
     if n2 > 16:
         raise ValueError(f"n_range={nr}: outer radix {n2} > 16")
+    if nd > 128 and nd % 128 == 0:
+        n1d, n2d, d2r, d2i, dtwr, dtwi = _ct_split_rows(nd)
+        if n2d > 16:
+            raise ValueError(f"n_doppler={nd}: outer radix {n2d} > 16")
+    else:
+        n1d, n2d, d2r, d2i, dtwr, dtwi = nd, 1, None, None, None, None
+    ndl = nd // n2d
     if cfar is None or cfar.variant not in ("os", "ca", "go", "so") \
             or cfar.edge_mode != "wrap":
         raise ValueError("rdm_frontend_fixed needs a wrap-edge CfarParams "
                          "with variant os/ca/go/so")
     if cfar.scale_mode == "block" and (
-            cfar.scale_block != n2 or nd % cfar.scale_block):
+            cfar.scale_block != n2 or nd % cfar.scale_block
+            or cfar.scale_block % n2d):
         raise ValueError(
             f"in-kernel block scale needs scale_block == n_range/128 == "
-            f"{n2} and n_doppler % scale_block == 0; got {cfar}")
+            f"{n2} (divisible by n_doppler/128 = {n2d}) and "
+            f"n_doppler % scale_block == 0; got {cfar}")
     if (cfar.halo_range + n2 - 1) // n2 > _DET_PAD:
         raise ValueError(f"halo_range {cfar.halo_range} exceeds the "
                          f"detect scratch row pad ({_DET_PAD} x n2)")
@@ -1037,7 +1095,7 @@ def rdm_frontend_fixed(iq: jnp.ndarray, mti_bypass=False,
     shift = coef_width - 2
     rnd = (1 << shift) if window_rounding == "biased" else (1 << (shift - 1))
     c1r, c1i = dft_matrices(n1)
-    cdr, cdi = dft_matrices(nd)
+    cdr, cdi = dft_matrices(n1d if n2d > 1 else nd)
     mats = [jnp.asarray(x) for c in (c1r, c1i, cdr, cdi)
             for x in _split_matrix3(c)]
 
@@ -1049,10 +1107,13 @@ def rdm_frontend_fixed(iq: jnp.ndarray, mti_bypass=False,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024)
-    slices = jax.ShapeDtypeStruct((n2, n1, nd), jnp.float32)
+    slices = jax.ShapeDtypeStruct((n2 * n2d, n1, ndl), jnp.float32)
     operands = [iq[..., 0], iq[..., 1], jnp.asarray(winr), jnp.asarray(wind),
                 jnp.asarray(twr), jnp.asarray(twi), *mats, ctl]
     in_specs = [vmem()] * 18 + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if n2d > 1:
+        operands += [jnp.asarray(dtwr), jnp.asarray(dtwi)]
+        in_specs += [vmem(), vmem()]
     out_shape = [slices]                                    # det
     if emit_mag:
         out_shape.append(slices)                            # mag
@@ -1060,16 +1121,20 @@ def rdm_frontend_fixed(iq: jnp.ndarray, mti_bypass=False,
     out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.int32))  # sat, ndet
     out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     if emit_topk:
-        out_shape.append(jax.ShapeDtypeStruct((n2, n1, 1), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((n2 * n2d, n1, 1),
+                                              jnp.float32))
         out_specs.append(vmem())                            # row maxes
-    n_rot = max(cfar.win_doppler, 2 * peak_group_radius + 1)
-    scratch = [pltpu.VMEM((n_rot, n2, n1 + 2 * _DET_PAD, nd), jnp.float32)]
+    wmin, wmax = _c_range(cfar.halo_doppler, n2d)
+    gmin, gmax = _c_range(peak_group_radius, n2d)
+    n_rot = max(wmax - wmin + 1, gmax - gmin + 1)
+    scratch = [pltpu.VMEM((n_rot, n2 * n2d, n1 + 2 * _DET_PAD, ndl),
+                          jnp.float32)]
     out = pl.pallas_call(
         functools.partial(_kernel_fixed, n1=n1, n2=n2, c2r=c2r, c2i=c2i,
                           cfar=cfar, notch_mode=notch_mode,
                           transient=transient, rnd=rnd, shift=shift,
                           emit_mag=emit_mag, peak_radius=peak_group_radius,
-                          emit_topk=emit_topk),
+                          emit_topk=emit_topk, n2d=n2d, d2r=d2r, d2i=d2i),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1078,11 +1143,15 @@ def rdm_frontend_fixed(iq: jnp.ndarray, mti_bypass=False,
         **kwargs,
     )(*operands)
     det_s = out[0]
-    mag = (jnp.swapaxes(out[1], 0, 1).reshape(nr, nd) if emit_mag else None)
+    if emit_mag:
+        mag = jnp.transpose(out[1].reshape(n2, n2d, n1, ndl),
+                            (2, 0, 3, 1)).reshape(nr, nd)
+    else:
+        mag = None
     if not emit_topk:
         return det_s, mag, out[-1][0, 0], None, None
     stats = out[-2]
-    rmax = out[-1].reshape(n2 * n1)
+    rmax = out[-1].reshape(n2 * n2d * n1)
     return det_s, mag, stats[0, 0], rmax, stats[0, 1]
 
 

@@ -379,3 +379,36 @@ def test_longcpi_single_range_slice():
     want_g = C.peak_group(jnp.asarray(got), radius=2)
     assert np.array_equal(_deinterleave(det_g, p.n_range, p.n_doppler),
                           np.asarray(want_g))
+
+
+def test_longcpi_fixed_fused_matches_xla_chain():
+    """mode='fixed' + frontend='pallas' at the split shape (256 x 256):
+    exact detection-set parity with the XLA fixed chain (the
+    test_frontend_fixed contract), magnitudes within the bf16x6 LSB
+    tolerance, saturation counts exact — the fixed kernel rides the same
+    row-block Doppler split as the float kernel."""
+    for scale_mode, pg in (("cell", 0), ("block", 2)):
+        p = P.replace(cfar=dataclasses.replace(
+            P.cfar, scale_mode=scale_mode, scale_block=2))
+        assert pl.fused_fixed_detect_supported(p, peak_group_radius=pg)
+        frame = _iq(p, seed=3)
+        base = dict(mode="fixed", include_maps=True, peak_group_radius=pg)
+        out_x = jax.tree.map(np.asarray,
+                             pl.make_processor(p, **base)(frame))
+        out_k = jax.tree.map(np.asarray, pl.make_processor(
+            p, frontend="pallas", **base)(frame))
+        assert (set(zip(*np.nonzero(out_x["det_map"])))
+                == set(zip(*np.nonzero(out_k["det_map"])))), scale_mode
+        assert out_x["n_dets"] == out_k["n_dets"] > 0
+        assert out_k["mag_map"].dtype == out_x["mag_map"].dtype
+        d = np.abs(out_x["mag_map"].astype(np.int64)
+                   - out_k["mag_map"].astype(np.int64))
+        assert d.max() <= 8, (scale_mode, d.max())
+        assert out_x["saturation_count"] == out_k["saturation_count"]
+        v = out_x["valid"]
+        assert np.array_equal(v, out_k["valid"])
+        sx = set(zip(out_x["range_bin"][v].tolist(),
+                     out_x["doppler_bin"][v].tolist()))
+        sk = set(zip(out_k["range_bin"][v].tolist(),
+                     out_k["doppler_bin"][v].tolist()))
+        assert sx == sk, scale_mode
