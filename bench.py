@@ -246,6 +246,49 @@ def main():
     # with no VHDL counterpart — so the artifact records both.
     best_percell = max((fps for fps, ok, headline, pc in results.values()
                         if ok and headline and pc), default=0.0)
+
+    # --- Rooflines (BASELINE north star, recorded + regression-gated) ---
+    # Achieved op/s and bytes/s from the documented per-frame op models
+    # (fmcw_tpu/utils/roofline.py), gated against the recorded best in
+    # docs/rooflines.json.  Two kernels: the fused front-end+detect (from
+    # its measured frames/s above) and the standalone counting CFAR kernel
+    # (its own device-resident micro-bench below — synthetic gamma-noise
+    # maps; the kernel's cost is data-independent).
+    from fmcw_tpu.utils import roofline as RL
+    roofline = {}
+    try:
+        fused_fps = results.get("pallas-frontend+fused-detect/HIGH",
+                                (best,))[0]
+        if fused_fps:
+            ach = RL.achieved(RL.fused_detect_model(p_block), fused_fps)
+            roofline["fused_detect"] = {
+                **ach, **RL.gate("fused_detect", ach)}
+
+        from fmcw_tpu.ops.cfar_pallas import cfar_2d_pallas_detect
+        import jax.numpy as jnp
+        cfn = jax.jit(jax.vmap(lambda m: jnp.sum(
+            cfar_2d_pallas_detect(m, 0, cfar=p.cfar, integer=False)[0]
+            > 0)))
+        maps = rng.gamma(2.0, 80.0,
+                         (64, p.n_range, p.n_doppler)).astype(np.float32)
+        maps_dev = jax.device_put(maps)
+        np.asarray(cfn(maps_dev)).sum()            # compile + warm
+        best_rate = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                c = cfn(maps_dev)
+            np.asarray(c).sum()
+            dt = time.perf_counter() - t0
+            best_rate = max(best_rate, 64 * 4 / dt)
+        log(f"cfar kernel micro-bench: {best_rate:.1f} maps/s (per-cell OS)")
+        ach = RL.achieved(RL.cfar_detect_model(p), best_rate)
+        roofline["cfar_detect"] = {**ach, **RL.gate("cfar_detect", ach)}
+    except Exception as e:  # pragma: no cover
+        log(f"roofline: FAILED {type(e).__name__}: {e}")
+    roofline_ok = all(v.get("ok", False) for v in roofline.values()) \
+        and len(roofline) == 2
+
     print(json.dumps({
         "metric": "radar frames/s per chip (range-Doppler+CFAR, 1024x128)",
         "value": round(best, 1),
@@ -253,6 +296,8 @@ def main():
         "vs_baseline": round(best / BASELINE_FPS, 3),
         "value_percell": round(best_percell, 1),
         "vs_baseline_percell": round(best_percell / BASELINE_FPS, 3),
+        "roofline": roofline,
+        "roofline_ok": roofline_ok,
     }), flush=True)
 
 

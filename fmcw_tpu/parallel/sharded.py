@@ -33,6 +33,26 @@ from ..ops import window as W, fft as F, notch as N, magnitude as M
 from ..ops import cfar as C, detect as DET
 
 
+def _halo_exchange_cols(m: jnp.ndarray, h: int, axis_name: str,
+                        edge_mode: str = "wrap"):
+    """Column (lane-axis) halo exchange: returns the ``h`` columns just
+    below / above this shard's block — the previous shard's last ``h``
+    columns and the next shard's first ``h`` (ring ppermute; with
+    edge_mode='reflect' the global edge shards mirror locally).  Unlike
+    _halo_exchange_rows this returns the halos separately (the split fused
+    kernel consumes them as distinct operands)."""
+    n = jax.lax.axis_size(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    lo = jax.lax.ppermute(m[:, -h:], axis_name, fwd)
+    hi = jax.lax.ppermute(m[:, :h], axis_name, bwd)
+    if edge_mode == "reflect":
+        idx = jax.lax.axis_index(axis_name)
+        lo = jnp.where(idx == 0, m[:, 1:h + 1][:, ::-1], lo)
+        hi = jnp.where(idx == n - 1, m[:, -h - 1:-1][:, ::-1], hi)
+    return lo, hi
+
+
 def _halo_exchange_rows(m: jnp.ndarray, h: int, axis_name: str,
                         edge_mode: str = "wrap") -> jnp.ndarray:
     """Halo exchange: prepend the previous shard's last ``h`` rows and append
@@ -55,6 +75,45 @@ def _halo_exchange_rows(m: jnp.ndarray, h: int, axis_name: str,
     return jnp.concatenate([top, m, bot], axis=0)
 
 
+def split_frontend_supported(p: RadarParams, sp: int) -> bool:
+    """Can the split fused front-end (ops/split_frontend.py kernels A + B)
+    run this shape on an ``sp``-sharded mesh?  Kernel A needs the
+    monolithic kernel's Cooley-Tukey range shape; kernel B needs the local
+    range extent in whole 128-lane slices and the long-CPI Doppler radix
+    within bounds."""
+    if p.n_range % sp:
+        return False
+    nrl = p.n_range // sp
+    return (nrl % 128 == 0 and nrl // 128 <= 16
+            and p.n_range % 128 == 0 and p.n_range // 128 <= 16
+            and (p.n_doppler <= 128
+                 or (p.n_doppler % 128 == 0 and p.n_doppler // 128 <= 16)))
+
+
+def split_detect_supported(p: RadarParams, mode: str, sp: int,
+                           peak_group_radius: int = 0,
+                           cfar_method: str = "auto") -> bool:
+    """Can the CFAR decision (+ grouping) additionally run inside kernel B
+    (the fully-fused sp>1 path)?  Mirrors the monolithic kernel's per-cell
+    gate: cell-scale wrap-edge os/ca/go/so, the exchanged complex halo
+    (halo_range + peak_group_radius columns) bounded, and — for
+    mode='fixed' — the f32-exact integer window-sum bound of
+    pipeline.fused_fixed_detect_supported.  Block-scale configs run kernel
+    B magnitude-only + ops/cfar.block_scale_map_sharded + the standalone
+    Pallas detect kernel instead."""
+    h = p.cfar.halo_range + peak_group_radius
+    ok = (split_frontend_supported(p, sp)
+          and p.cfar.scale_mode == "cell"
+          and p.cfar.edge_mode == "wrap"
+          and p.cfar.variant in ("os", "ca", "go", "so")
+          and cfar_method in ("auto", "pallas")
+          and h <= 32)
+    if mode == "fixed":
+        # Cell scale carries the training-window mean as integers in f32.
+        ok = ok and p.cfar.win_range * p.cfar.win_doppler * 45056 < 2 ** 24
+    return ok
+
+
 def make_sharded_processor(mesh: jax.sharding.Mesh,
                            params: RadarParams | None = None,
                            mode: str = "float32",
@@ -67,6 +126,7 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
                            cfar_method: str = "auto",
                            cfar_rank_bits: int | None = 16,
                            include_maps: bool = False,
+                           include_debug: bool = False,
                            frontend: str = "auto"):
     """Build the sharded frame-batch processor.
 
@@ -133,17 +193,42 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
     # so fixed mode stays bit-identical across mesh shapes.
     use_fused = (frontend == "pallas" and sp == 1
                  and (PL.fused_detect_supported(p, mode, peak_group_radius,
-                                                cfar_method)
+                                                cfar_method, include_debug)
                       or (explicit_pallas and mode == "fixed"
                           and PL.fused_fixed_detect_supported(
-                              p, peak_group_radius, cfar_method))))
-    if explicit_pallas and not use_fused:
+                              p, peak_group_radius, cfar_method,
+                              include_debug))))
+    # sp > 1: the SPLIT fused path (ops/split_frontend.py) — kernel A
+    # (window + CT range FFT) on the chirp shard, all-to-all, kernel B
+    # (slow-time + magnitude [+ CFAR decision + grouping]) on the range
+    # shard.  Bit-exact against the monolithic fused kernel at any sp, so
+    # the sequence-parallel mesh runs at kernel speed instead of the XLA
+    # stage chain.  Float auto-resolves like the single chip; fixed stays
+    # explicit opt-in (bit-identical-by-default invariant).
+    use_split = use_split_detect = False
+    if frontend == "pallas" and sp > 1:
+        if mode == "float32" and split_frontend_supported(p, sp):
+            use_split = True
+            # Debug taps come from the standalone CFAR formulation: keep
+            # the split FRONT-END but run the decision on the sharded tail
+            # (threshold/scale maps halo-correct, os_cfar_2d.vhd:34-35).
+            use_split_detect = (not include_debug
+                                and split_detect_supported(
+                                    p, mode, sp, peak_group_radius,
+                                    cfar_method))
+        elif (mode == "fixed" and explicit_pallas
+              and split_detect_supported(p, mode, sp, peak_group_radius,
+                                         cfar_method)):
+            use_split = True
+            use_split_detect = not include_debug
+    if explicit_pallas and not (use_fused or use_split):
         raise ValueError(
-            "frontend='pallas' needs a pure frame-DP mesh (sp == 1, whole "
-            "frames per chip), mode in ('float32', 'fixed'), "
-            "peak_group_radius <= 8, cfar_method in ('auto', 'pallas'), and "
-            "fused-detect-compatible CfarParams (os/ca/go/so variant, wrap "
-            "edges, n_range = n2*128)")
+            "frontend='pallas' needs mode in ('float32', 'fixed') and "
+            "either a pure frame-DP mesh (sp == 1) with fused-detect-"
+            "compatible CfarParams, or an sp-sharded mesh whose local "
+            "range extent n_range/sp is a multiple of 128 (<= 16 slices; "
+            "mode='fixed' additionally needs the cell-scale wrap-edge "
+            "split-detect geometry, parallel.sharded.split_detect_supported)")
 
     def frame_fn(iq, mti_bypass, scale_override):
         """Per-(dp-shard, sp-shard) single-frame body.  iq local shape:
@@ -162,7 +247,102 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
                 mode=mode, window_rounding=window_rounding)
         sp_idx = jax.lax.axis_index("sp")
 
-        if mode == "float32":
+        def finish(local, local_r, sat, nonfinite, maps):
+            """Shared tail: gather the shards' local top-K detections and
+            re-extract the global top-K on every chip."""
+            all_mag = jax.lax.all_gather(local["mag"], "sp", tiled=True)
+            all_r = jax.lax.all_gather(local_r, "sp", tiled=True)
+            all_d = jax.lax.all_gather(local["doppler_bin"], "sp",
+                                       tiled=True)
+            vals, idx = jax.lax.top_k(all_mag, max_dets)
+            out = {
+                "range_bin": all_r[idx],
+                "doppler_bin": all_d[idx],
+                "mag": vals,
+                "valid": vals > 0,
+                "n_dets": jax.lax.psum(local["n_dets"], "sp"),
+                "saturation_count": sat,
+                "nonfinite_count": nonfinite,
+            }
+            out.update(maps)
+            return out
+
+        if use_split:
+            from ..ops import split_frontend as SF
+            interp = jax.default_backend() != "tpu"
+            if mode == "fixed":
+                sre, sim, sat_r = SF.range_frontend(
+                    iq, fixed=True, coef_width=p.coef_width,
+                    window_rounding=window_rounding, interpret=interp)
+            else:
+                sre, sim = SF.range_frontend(iq, interpret=interp)
+                sat_r = jnp.int32(0)
+            # The corner turn (rtl/src/corner_turner.vhd:79-117): chirp
+            # shards -> range shards, natural orders on both sides.
+            sre, sim = [jax.lax.all_to_all(x, "sp", split_axis=1,
+                                           concat_axis=0, tiled=True)
+                        for x in (sre, sim)]
+            if use_split_detect:
+                h = hr + peak_group_radius
+                lo_re, hi_re = _halo_exchange_cols(sre, h, "sp",
+                                                   p.cfar.edge_mode)
+                lo_im, hi_im = _halo_exchange_cols(sim, h, "sp",
+                                                   p.cfar.edge_mode)
+                det_s, magm, stat, rmax, ndets = SF.slowtime_detect(
+                    sre, sim, (lo_re, lo_im), (hi_re, hi_im),
+                    mti_bypass, scale_override, sp_idx * nr_local,
+                    cfar=p.cfar, detect=True, emit_mag=include_maps,
+                    peak_group_radius=peak_group_radius,
+                    exact_mag=magnitude_exact, fixed=(mode == "fixed"),
+                    notch_mode=p.notch_mode, transient=mti_transient,
+                    coef_width=p.coef_width,
+                    window_rounding=window_rounding,
+                    n_range_total=p.n_range, interpret=interp)
+                n2l = nr_local // 128
+                n2d = det_s.shape[0] // n2l
+                ndl = p.n_doppler // n2d
+                local = DET.topk_detections(
+                    det_s.reshape(n2l * n2d * 128, ndl),
+                    max_dets=max_dets, row_max=rmax, n_dets=ndets)
+                local = SF.split_topk_remap(local, n2l, n2d)
+                if mode == "fixed":
+                    local["mag"] = local["mag"].astype(jnp.int32)
+                    sat = jax.lax.psum(sat_r + stat, "sp")
+                    nonfinite = jnp.int32(0)
+                else:
+                    sat = jnp.int32(0)
+                    nonfinite = jax.lax.psum(stat, "sp")
+                maps = {}
+                if include_maps:
+                    dmap = jnp.transpose(
+                        det_s.reshape(n2l, n2d, 128, ndl),
+                        (0, 2, 3, 1)).reshape(nr_local, p.n_doppler)
+                    if mode == "fixed":
+                        maps["mag_map"] = magm.astype(jnp.int32)
+                        maps["det_map"] = dmap.astype(jnp.int32)
+                    else:
+                        maps["mag_map"] = magm
+                        maps["det_map"] = dmap
+                return finish(local, local["range_bin"]
+                              + sp_idx * nr_local, sat, nonfinite, maps)
+            # Magnitude-only kernel B (block-scale or non-cell configs):
+            # the decision runs below on the standard sharded tail
+            # (block-grid scale exchange + row halo + standalone kernel).
+            magm, stat = SF.slowtime_detect(
+                sre, sim, mti_bypass=mti_bypass,
+                scale_override=scale_override, cfar=None, detect=False,
+                fixed=(mode == "fixed"), notch_mode=p.notch_mode,
+                transient=mti_transient, coef_width=p.coef_width,
+                window_rounding=window_rounding, interpret=interp)
+            if mode == "fixed":
+                mag = magm.astype(jnp.int32)
+                sat = jax.lax.psum(sat_r + stat, "sp")
+                nonfinite = jnp.int32(0)
+            else:
+                mag = magm
+                sat = jnp.int32(0)
+                nonfinite = jax.lax.psum(stat, "sp")
+        elif mode == "float32":
             re = iq[..., 0].astype(jnp.float32)
             im = iq[..., 1].astype(jnp.float32)
             # Range window+FFT on the local chirp block (full range axis).
@@ -222,13 +402,12 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
             scale_map = C.block_scale_map_sharded(
                 mag, p.cfar, integer=(mode == "fixed"), axis_name="sp")
         mag_h = _halo_exchange_rows(mag, hr, "sp", p.cfar.edge_mode)
-        det, _, _ = C.cfar_2d_auto(mag_h, scale_override, cfar=p.cfar,
-                                   integer=(mode == "fixed"),
-                                   prepadded_range=True,
-                                   method=cfar_method, int_bits=16,
-                                   rank_bits=(None if mode == "fixed"
-                                              else cfar_rank_bits),
-                                   need_debug=False, scale_map=scale_map)
+        det, threshold, dbg_scale = C.cfar_2d_auto(
+            mag_h, scale_override, cfar=p.cfar,
+            integer=(mode == "fixed"), prepadded_range=True,
+            method=cfar_method, int_bits=16,
+            rank_bits=(None if mode == "fixed" else cfar_rank_bits),
+            need_debug=include_debug, scale_map=scale_map)
         if peak_group_radius > 0:
             # Peak grouping also needs neighbor context; reuse the exchange.
             # Global row ids keep tie-breaking identical to single chip even
@@ -244,24 +423,15 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
         # Local detection extraction with global range coordinates, then
         # gather + global top-K so every chip holds the frame's detections.
         local = DET.topk_detections(det, max_dets=max_dets)
-        local_r = local["range_bin"] + sp_idx * nr_local
-        all_mag = jax.lax.all_gather(local["mag"], "sp", tiled=True)
-        all_r = jax.lax.all_gather(local_r, "sp", tiled=True)
-        all_d = jax.lax.all_gather(local["doppler_bin"], "sp", tiled=True)
-        vals, idx = jax.lax.top_k(all_mag, max_dets)
-        out = {
-            "range_bin": all_r[idx],
-            "doppler_bin": all_d[idx],
-            "mag": vals,
-            "valid": vals > 0,
-            "n_dets": jax.lax.psum(local["n_dets"], "sp"),
-            "saturation_count": sat,
-            "nonfinite_count": nonfinite,
-        }
-        if include_maps:
-            out["mag_map"] = mag
-            out["det_map"] = det
-        return out
+        maps = {"mag_map": mag, "det_map": det} if include_maps else {}
+        if include_debug:
+            # The dbg_threshold/dbg_scale taps (os_cfar_2d.vhd:34-35,
+            # 219-220), sp-sharded like the maps; halo-correct because the
+            # decision above consumed the exchanged halo.
+            maps["threshold_map"] = threshold
+            maps["scale_map"] = dbg_scale
+        return finish(local, local["range_bin"] + sp_idx * nr_local,
+                      sat, nonfinite, maps)
 
     def batch_fn(iq, mti_bypass, scale_override):
         # iq local: (batch/dp, n_doppler/sp, n_range, 2); vmap over frames.
@@ -277,6 +447,9 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
     if include_maps:
         out_specs["mag_map"] = P("dp", "sp", None)
         out_specs["det_map"] = P("dp", "sp", None)
+    if include_debug:
+        out_specs["threshold_map"] = P("dp", "sp", None)
+        out_specs["scale_map"] = P("dp", "sp", None)
 
     sharded = jax.jit(jax.shard_map(
         batch_fn, mesh=mesh,

@@ -82,6 +82,9 @@ class ScanResult:
     report: dict
     tracker_state: dict | None  # populated on each batch's final scan (the
     # checkpoint boundary — utils.checkpoint); None on intermediate scans
+    stream_hist: np.ndarray | None = None  # hw-compat streaming CFAR carry
+    # (run_surveillance_stream only): part of the checkpointable runtime
+    # state — resuming without it replays the startup-skip transient
 
 
 def run_surveillance(proc: Callable, frames: Iterable[np.ndarray],
@@ -200,3 +203,69 @@ def run_surveillance(proc: Callable, frames: Iterable[np.ndarray],
             buf = []
     if buf:
         yield from flush(buf)
+
+
+def run_surveillance_stream(proc, frames: Iterable[np.ndarray],
+                            params: RadarParams,
+                            det_log: str | None = None,
+                            trk_log: str | None = None,
+                            mti_bypass: bool = False,
+                            scale_override: int = 0,
+                            tracker_state: dict | None = None,
+                            stream_hist: np.ndarray | None = None,
+                            start_scan: int = 0) -> Iterator[ScanResult]:
+    """Hw-compat STREAMING surveillance: one CPI at a time through
+    ``proc.stream`` (make_processor(cfar_geometry='hw_stream') — the
+    continuous-stream behavior of the hardware's free-running CFAR,
+    os_cfar_2d.vhd:66-68/130-135), tracker stepped per scan, logs in the
+    reference text formats.
+
+    The run's full state between scans is (tracker_state, scan counter,
+    ``stream_hist`` — the CFAR's inter-frame line-buffer tail).  Checkpoint
+    all three with utils.checkpoint (``runtime_state={'stream_hist': ...,
+    **checkpoint.log_positions(...)}``) and a resumed run continues the
+    stream exactly: same detection sets (no startup-skip replay), byte-
+    identical logs (tests/test_surveillance.py pins this).
+    """
+    tp = params.tracker
+    state = (tracker_state if tracker_state is not None
+             else jt.init_state(tp))
+    hist = None if stream_hist is None else jnp.asarray(stream_hist)
+    resuming = start_scan > 0
+    if not resuming:
+        if det_log:
+            open(det_log, "w").close()
+        if trk_log:
+            open(trk_log, "w").close()
+    scan = start_scan
+    for f in frames:
+        out, hist = proc.stream(f, mti_bypass=mti_bypass,
+                                scale_override=scale_override, hist=hist)
+        out = jax.tree.map(np.asarray, out)
+        scan += 1
+        v = out["valid"]
+        state_dev = {k: jnp.asarray(val) for k, val in state.items()}
+        final, rep = jt.step(state_dev,
+                             jnp.asarray(out["range_bin"]),
+                             jnp.asarray(out["doppler_bin"]),
+                             jnp.asarray(out["mag"].astype(np.int32)),
+                             jnp.asarray(v), tp=tp)
+        rep = jax.tree.map(np.asarray, rep)
+        state = {k: np.asarray(val) for k, val in final.items()}
+        if det_log:
+            rio.write_detections(det_log, out["range_bin"][v],
+                                 out["doppler_bin"][v], out["mag"][v],
+                                 append=True)
+        if trk_log:
+            ids = np.nonzero(rep["report_mask"])[0]
+            rio.write_tracks(trk_log, [
+                {"id": t, "range_pos": rep["range_pos"][t],
+                 "dopp_pos": rep["dopp_pos"][t],
+                 "range_vel": rep["range_vel"][t],
+                 "quality": rep["quality"][t],
+                 "status": rep["status"][t]} for t in ids],
+                active_count=int(rep["active_tracks"]), append=True)
+        yield ScanResult(scan=scan, n_dets=int(np.sum(v)),
+                         active_tracks=int(rep["active_tracks"]),
+                         report=rep, tracker_state=state,
+                         stream_hist=np.asarray(hist))

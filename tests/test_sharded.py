@@ -422,3 +422,38 @@ def test_sharded_array_grouped_sliced_matches_single_chip():
             want["range_bin"][want["valid"]].tolist(),
             want["doppler_bin"][want["valid"]].tolist()))
         assert np.array_equal(out["det_cube"][i], want["det_cube"])
+
+
+@pytest.mark.parametrize("mode", ["fixed", "float32"])
+def test_sharded_debug_taps_match_single_chip(batch, mode):
+    """include_debug on the sharded processor (round-5 verdict item 5): the
+    dbg_threshold/dbg_scale taps (os_cfar_2d.vhd:34-35,219-220) come back
+    sp-sharded and equal the single chip's — bit-exact in fixed mode (and
+    in float on CPU, where both sides run the identical XLA formulation)."""
+    mesh = M.make_mesh(dp=2, sp=4)
+    proc = sh.make_sharded_processor(mesh, Q, mode=mode, include_maps=True,
+                                     include_debug=True)
+    out = jax.tree.map(np.asarray, proc(batch))
+    single = jax.tree.map(np.asarray, pl.make_batch_processor(
+        Q, mode=mode, include_maps=True, include_debug=True)(batch))
+    assert out["threshold_map"].shape == single["threshold_map"].shape
+    assert np.array_equal(out["threshold_map"], single["threshold_map"])
+    assert np.array_equal(out["scale_map"], single["scale_map"])
+    assert np.array_equal(out["det_map"], single["det_map"])
+
+
+def test_sharded_debug_taps_reflect_and_block(batch):
+    """Debug taps stay exact with reflect edges and with the block
+    (clutter-map) scale mode."""
+    import dataclasses
+    for cfar_kw in ({"edge_mode": "reflect"}, {"scale_mode": "block",
+                                               "scale_block": 8}):
+        p = Q.replace(cfar=dataclasses.replace(Q.cfar, **cfar_kw))
+        mesh = M.make_mesh(dp=1, sp=8)
+        proc = sh.make_sharded_processor(mesh, p, mode="fixed",
+                                         include_debug=True)
+        out = jax.tree.map(np.asarray, proc(batch))
+        single = jax.tree.map(np.asarray, pl.make_batch_processor(
+            p, mode="fixed", include_maps=False, include_debug=True)(batch))
+        assert np.array_equal(out["threshold_map"], single["threshold_map"])
+        assert np.array_equal(out["scale_map"], single["scale_map"])

@@ -47,7 +47,7 @@ def test_surveillance_checkpoint_resume(tmp_path):
     first = list(sv.run_surveillance(proc, frames[:3], Q, batch_scans=2))
     path = str(tmp_path / "ck.npz")
     ckpt.save(path, first[-1].tracker_state, scan_index=first[-1].scan)
-    state, scan, _ = ckpt.load(path)
+    state, scan, _, _ = ckpt.load(path)
     rest = list(sv.run_surveillance(proc, frames[3:], Q, batch_scans=2,
                                     tracker_state=state, start_scan=scan))
     resumed = first + rest
@@ -155,3 +155,59 @@ def test_surveillance_health_lines():
     assert lines[-1].startswith("HEALTH scans=5-5 ")
     for ln in lines:
         assert "dets=" in ln and "active=" in ln and "scan_rate=" in ln
+
+
+def test_surveillance_stream_checkpoint_resume(tmp_path):
+    """Round-5 verdict item 6 — WHOLE-runtime-state checkpoint: a hw-compat
+    streaming run checkpointed mid-stream (tracker + scan counter + the
+    CFAR's inter-frame line-buffer carry + log byte positions) and resumed
+    emits byte-identical logs and identical final state as an uninterrupted
+    run, even after a simulated crash wrote extra log lines past the
+    checkpoint.  Without the stream carry the resumed run replays the
+    startup-skip transient and diverges — the failure mode the runtime
+    state exists to prevent."""
+    proc = pl.make_processor(Q, mode="fixed", include_maps=False,
+                             cfar_geometry="hw_stream")
+    # A target near the end of the map (range bin 124 of 128): its skirt
+    # rides the inter-frame line-buffer carry, so the stream history is
+    # load-bearing for the next frame's head decisions.
+    frames = [pl.complex_to_iq(ref.two_target_frame(
+        Q, seed=s % 3, targets=((124, 10 + s % 3, 14000), (60, 20, 12000))))
+        for s in range(6)]
+    d0, t0 = str(tmp_path / "d0.txt"), str(tmp_path / "t0.txt")
+    full = list(sv.run_surveillance_stream(proc, frames, Q,
+                                           det_log=d0, trk_log=t0))
+    assert len(full) == 6 and any(r.n_dets for r in full)
+
+    d1, t1 = str(tmp_path / "d1.txt"), str(tmp_path / "t1.txt")
+    first = list(sv.run_surveillance_stream(proc, frames[:3], Q,
+                                            det_log=d1, trk_log=t1))
+    ck = first[-1]
+    path = str(tmp_path / "ck.npz")
+    ckpt.save(path, ck.tracker_state, scan_index=ck.scan,
+              runtime_state={"stream_hist": ck.stream_hist,
+                             **ckpt.log_positions(d1, t1)})
+    # Simulated crash: a partial post-checkpoint batch got logged.
+    with open(d1, "a") as fh:
+        fh.write("999 999 12345\n")
+    state, scan, _, rt = ckpt.load(path)
+    assert scan == 3
+    ckpt.restore_logs(rt, det_log=d1, trk_log=t1)
+    rest = list(sv.run_surveillance_stream(
+        proc, frames[3:], Q, det_log=d1, trk_log=t1, tracker_state=state,
+        stream_hist=rt["stream_hist"], start_scan=scan))
+    assert open(d1).read() == open(d0).read()
+    assert open(t1).read() == open(t0).read()
+    np.testing.assert_array_equal(full[-1].stream_hist,
+                                  rest[-1].stream_hist)
+    for k in full[-1].tracker_state:
+        assert np.array_equal(full[-1].tracker_state[k],
+                              rest[-1].tracker_state[k]), k
+
+    # Resuming WITHOUT the carry replays first-frame startup-skip semantics
+    # -> different detection lines on the resumed scans.
+    d2 = str(tmp_path / "d2.txt")
+    list(sv.run_surveillance_stream(proc, frames[3:], Q, det_log=d2,
+                                    tracker_state=state, start_scan=scan))
+    tail_good = open(d0, "rb").read()[int(rt["det_log_pos"]):]
+    assert open(d2, "rb").read() != tail_good
