@@ -33,7 +33,16 @@ def test_artifact_schema(record):
         assert r["fps"] > 0
     ns = record["northstar"]
     assert set(ns) == {"target_eff", "measured_eff", "at", "hardware",
-                       "meaningful", "pass"}
+                       "meaningful", "pass", "analytic_model",
+                       "projected_eff"}
+    # The CPU mesh can't measure the north star (meaningful=false); the
+    # analytic substitute (docs/scaling_model.md) must exist and project
+    # the dp regime at >= target.
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assert os.path.exists(os.path.join(here, ns["analytic_model"]))
+    assert ns["projected_eff"]["dp=8"] >= ns["target_eff"]
+    assert ns["projected_eff"]["sp=8_overlapped"] >= ns["target_eff"]
     assert ns["target_eff"] == 0.90
 
 

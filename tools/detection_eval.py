@@ -85,6 +85,32 @@ def main():
             for v, r in res.items()}
         print("--- hw-compat (as-built streaming geometry) ---")
         print(ev.format_table(res))
+        # The angle-extended (3D, ref_angle=1) detector: 8-element ULA ->
+        # 8 beams, training set spans neighbor beams.  SNRs are
+        # PER-ELEMENT and shifted ~9 dB below the 2D spec's (the 8-element
+        # array gain), so the curves probe the same detector operating
+        # region (utils/eval.pd_pfa_3d docstring).
+        spec3d = dict(n_elems=8, n_beams=8, ref_angle=1, guard_angle=0,
+                      trials=32, noise_trials=16,
+                      snr_dbs=[-44, -40, -36, -33, -30, -27])
+        art["spec_3d"] = spec3d
+        p3 = RadarParams(n_range=spec["n_range"],
+                         n_doppler=spec["n_doppler"], cfar=CfarParams())
+        res = ev.pd_pfa_3d(p3, n_elems=spec3d["n_elems"],
+                           n_beams=spec3d["n_beams"],
+                           ref_angle=spec3d["ref_angle"],
+                           guard_angle=spec3d["guard_angle"],
+                           trials=spec3d["trials"],
+                           noise_trials=spec3d["noise_trials"],
+                           seed=spec["seed"], sigma=spec["sigma"],
+                           tolerance=spec["tolerance"],
+                           snr_dbs=tuple(spec3d["snr_dbs"]))
+        art["results"]["angle_ref1"] = {
+            v: {"pfa": r["pfa"],
+                "pd": {str(k): pd for k, pd in r["pd"].items()}}
+            for v, r in res.items()}
+        print("--- angle-extended 3D (ref_angle=1, per-element SNR) ---")
+        print(ev.format_table(res))
         with open(args.artifact, "w") as f:
             json.dump(art, f, indent=1, sort_keys=True)
             f.write("\n")

@@ -43,12 +43,93 @@ def measure(proc, frame, reps):
             "min_ms": round(float(lat.min()), 3)}
 
 
+def measure_device_resident(p, frame, mode, reps=7, k=64, hw_stream=False):
+    """DEVICE-RESIDENT single-frame latency (round-5 verdict item 4): the
+    frame is pre-staged in HBM and K frame->detections steps run as ONE
+    jitted ``lax.fori_loop`` whose iterations are data-dependent (each
+    step's output perturbs the next step's input / carries the hw-stream
+    history), so the device executes them strictly serially.  Per-frame
+    latency = (T(K) - T(1)) / (K - 1): the tunnel RTT, dispatch and
+    readback appear once in both timings and cancel — what remains is the
+    on-device frame->detections critical path, the number comparable to
+    the FPGA's 1-CPI (655 us) streaming-fill floor
+    (rtl/old/radar_core_v2.vhd:16-20)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fmcw_tpu.models import pipeline as pl
+
+    if hw_stream:
+        proc = pl.make_processor(p, mode=mode, include_maps=False,
+                                 cfar_geometry="hw_stream")
+        from fmcw_tpu.golden.fixed_point import hw_stream_lag
+        hlen = 2 * hw_stream_lag(p.cfar, p.n_doppler)
+        hdtype = jnp.int32 if mode == "fixed" else jnp.float32
+
+        def make_chain(k):
+            @jax.jit
+            def chain(iq, byp, so):
+                def body(i, carry):
+                    acc, hist = carry
+                    # The hist carry itself serializes the steps — the
+                    # hardware's actual inter-frame dependency.
+                    out, hist = proc.stream(iq, mti_bypass=byp,
+                                            scale_override=so, hist=hist)
+                    return acc + out["n_dets"], hist
+                acc, _ = jax.lax.fori_loop(
+                    0, k, body, (jnp.int32(0), jnp.zeros((hlen,), hdtype)))
+                return acc
+            return chain
+    else:
+        proc = pl.make_processor(p, mode=mode, include_maps=False)
+        step = proc.jitted
+
+        def make_chain(k):
+            @jax.jit
+            def chain(iq, byp, so):
+                def body(i, carry):
+                    acc, x = carry
+                    out = step(x, byp, so)
+                    # Data dependency the compiler cannot elide (n_dets is
+                    # runtime-valued): serializes the K steps.
+                    x = jnp.where(out["n_dets"] < 0, x + jnp.int16(1), x)
+                    return acc + out["n_dets"], x
+                acc, _ = jax.lax.fori_loop(0, k, body, (jnp.int32(0), iq))
+                return acc
+            return chain
+
+    byp = jnp.asarray(False)
+    so = jnp.asarray(0, jnp.int32)
+    iq_dev = jax.device_put(frame)
+    c1, ck = make_chain(1), make_chain(k)
+    int(np.asarray(c1(iq_dev, byp, so)))           # compile + warm
+    int(np.asarray(ck(iq_dev, byp, so)))
+    lat = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        int(np.asarray(c1(iq_dev, byp, so)))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        int(np.asarray(ck(iq_dev, byp, so)))
+        tk = time.perf_counter() - t0
+        lat.append((tk - t1) / (k - 1) * 1e6)      # us/frame
+    lat = np.array(lat)
+    return {"p50_us": round(float(np.percentile(lat, 50)), 1),
+            "p90_us": round(float(np.percentile(lat, 90)), 1),
+            "min_us": round(float(lat.min()), 1),
+            "chain_k": k, "reps": reps}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--mode", default=None, choices=[None, "float32", "fixed"],
                     help="one mode only (default: sweep both)")
+    ap.add_argument("--device-resident", action="store_true",
+                    help="also measure the device-resident serialized "
+                         "chain latency (pre-staged frame, no host I/O)")
+    ap.add_argument("--chain-k", type=int, default=64)
     ap.add_argument("--out", default=None,
                     help="write a JSON artifact (e.g. LATENCY.json)")
     args = ap.parse_args()
@@ -72,6 +153,22 @@ def main():
         print(f"{mode}: single-frame latency over {args.reps} reps (ms): "
               f"p50={r['p50_ms']:.2f} p90={r['p90_ms']:.2f} "
               f"min={r['min_ms']:.2f}")
+    device_resident = {}
+    if args.device_resident:
+        for mode in modes:
+            device_resident[mode] = measure_device_resident(
+                p, frame, mode, k=args.chain_k)
+            r = device_resident[mode]
+            print(f"{mode} DEVICE-RESIDENT: p50={r['p50_us']:.0f}us "
+                  f"p90={r['p90_us']:.0f}us min={r['min_us']:.0f}us "
+                  f"(chained k={r['chain_k']})")
+        # hw-compat streaming CFAR: first-detection latency of the as-built
+        # streaming geometry, serialized by its real inter-frame carry.
+        device_resident["hw_stream_fixed"] = measure_device_resident(
+            p, frame, "fixed", k=min(args.chain_k, 16), hw_stream=True)
+        r = device_resident["hw_stream_fixed"]
+        print(f"hw_stream/fixed DEVICE-RESIDENT: p50={r['p50_us']:.0f}us "
+              f"(chained k={r['chain_k']})")
     print("[reference budget ~0.66 ms CPI fill + pipeline; tunneled-TPU "
           "numbers include ~2-4 ms dispatch RTT — see methodology note]")
     if args.out:
@@ -81,6 +178,19 @@ def main():
             "platform": str(jax.devices()[0]),
             "reps": args.reps,
             "results": results,
+            "device_resident": {
+                "what": "pre-staged HBM frame -> detections, K steps "
+                        "serialized on device by a data dependency; "
+                        "per-frame = (T(K)-T(1))/(K-1), so tunnel RTT/"
+                        "dispatch/readback cancel — the on-device "
+                        "frame->detections critical path",
+                "fpga_comparison": "reference floor is 1 CPI corner-turn "
+                        "fill (655.36 us @200 MHz, radar_core_v2.vhd:16-20)"
+                        " + 776-cell CFAR startup; measured device-resident"
+                        " latency below is the TPU's equivalent number "
+                        "from measurement, not inference",
+                "results": device_resident,
+            } if device_resident else None,
             "methodology_caveat": (
                 "the axon TPU is reached over a network tunnel with ~2-4 ms "
                 "per-dispatch RTT and ~30-60 MB/s H2D, which dominates these "

@@ -43,6 +43,14 @@ def main() -> int:
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--production-shape", action="store_true",
+                    help="also run the PRODUCTION 1024x128 CPI with sp "
+                         "spanning the process boundary (slow; round-5 "
+                         "verdict item 2): fixed-mode XLA chain asserted "
+                         "bit-identical to single device, and the split "
+                         "fused path (kernel A -> cross-process all-to-all "
+                         "-> kernel B) asserted bit-identical to the "
+                         "single-device monolithic fused kernel")
     args = ap.parse_args()
 
     # Force this process's virtual chip count (scrub any inherited value —
@@ -186,6 +194,52 @@ def main() -> int:
         assert out_a["n_dets"][i] == want["n_dets"], ("array n_dets", i)
         n_checked += len(want_set)
     results.append(f"array-sp{n_global}:{n_checked}dets")
+
+    if args.production_shape:
+        # PRODUCTION shape 1024x128 (the size the reference's corner turn
+        # is defined at, rtl/src/corner_turner.vhd:29-36) with sp spanning
+        # the process boundary: the all-to-all corner turn and the CFAR
+        # halo ring ride the DCN analog (gloo).
+        pf = fmcw_tpu.full()
+        fb = np.stack([pl.complex_to_iq(ref.two_target_frame(pf, seed=0))])
+        mesh_f = M.make_mesh(dp=1, sp=n_global)
+
+        def det_set(out, want_keys=("range_bin", "doppler_bin", "mag")):
+            o = {k: local_view(v) for k, v in out.items()}
+            v = o["valid"][0]
+            return set(zip(*[o[k][0][v].tolist() for k in want_keys]))
+
+        # (a) fixed mode, XLA chain: bit-identical to single device.
+        proc_f = sh.make_sharded_processor(mesh_f, pf, mode="fixed")
+        out_f = proc_f(fb)
+        ref_f = jax.tree.map(np.asarray, pl.make_processor(
+            pf, mode="fixed", include_maps=False)(fb[0]))
+        rv = ref_f["valid"]
+        want = set(zip(ref_f["range_bin"][rv].tolist(),
+                       ref_f["doppler_bin"][rv].tolist(),
+                       ref_f["mag"][rv].tolist()))
+        got = det_set(out_f)
+        assert got == want and want, ("prod fixed", sorted(got ^ want)[:8])
+
+        # (b) float32 SPLIT fused path: kernel A -> cross-process
+        # all-to-all -> kernel B, bit-identical to the single-device
+        # MONOLITHIC fused kernel (ops/split_frontend.py contract).
+        proc_s = sh.make_sharded_processor(mesh_f, pf, mode="float32",
+                                           frontend="pallas",
+                                           peak_group_radius=2)
+        out_s = proc_s(fb)
+        ref_s = jax.tree.map(np.asarray, pl.make_processor(
+            pf, mode="float32", frontend="pallas", include_maps=False,
+            peak_group_radius=2)(fb[0]))
+        rv = ref_s["valid"]
+        want_s = set(zip(ref_s["range_bin"][rv].tolist(),
+                         ref_s["doppler_bin"][rv].tolist(),
+                         ref_s["mag"][rv].tolist()))
+        got_s = det_set(out_s)
+        assert got_s == want_s and want_s, ("prod split",
+                                            sorted(got_s ^ want_s)[:8])
+        results.append(f"prod1024x128-sp{n_global}:fixed{len(want)}dets+"
+                       f"split{len(want_s)}dets")
 
     # Multi-host tracking-rate surveillance (BASELINE config 5): every host
     # drives the SAME tracker state from the dp-gathered detections and
