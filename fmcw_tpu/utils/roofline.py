@@ -112,15 +112,23 @@ _BESTS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "docs", "rooflines.json")
 
 
-def gate(name: str, ach: dict, threshold: float = 0.8,
+def gate(name: str, ach: dict, threshold: float = 0.5,
          bests_path: str | None = None) -> dict:
     """Regression gate vs the recorded best (docs/rooflines.json): compares
     this run's dominant-resource peak fraction against the best ever
     recorded for ``name``; records a new best when exceeded.  Returns
     {"peak_frac", "best", "frac_of_best", "ok"} — ``ok`` False means the
-    kernel regressed below ``threshold`` x its recorded capability (the
-    tunnel's ~1.5-2x phase swings are why bench.py reports best-of-reps
-    rates into this)."""
+    kernel regressed below ``threshold`` x its recorded capability.
+
+    The threshold is set at the tunnel's measured whole-phase floor, not a
+    tight band: even best-of-reps rates on UNCHANGED kernels have measured
+    0.55x of the recorded best across runs (PERF_LOG round 5: the same
+    monolithic fused kernel at 15.6k fps in tools/split_ab.py's phase vs
+    the 28.6k record), so a tighter gate would flag the network phase, not
+    the kernel.  A genuine formulation regression (e.g. a kernel silently
+    falling off its fused path to an XLA chain, historically a ~2x drop
+    compounding with phase) still trips it; ``frac_of_best`` is recorded
+    either way so drift inside the band stays visible in BENCH_rN."""
     path = bests_path or _BESTS
     try:
         with open(path) as fh:

@@ -161,9 +161,15 @@ def test_roofline_models_and_gate(tmp_path):
     path = str(tmp_path / "bests.json")
     g1 = RL.gate("cfar_detect", ach, bests_path=path)
     assert g1["ok"] and g1["frac_of_best"] == 1.0
+    # Gate threshold sits at the tunnel's measured whole-phase floor (0.5x,
+    # see roofline.gate): half-speed is still "ok" (a slow network phase),
+    # anything below it is a formulation regression.
     slow = RL.achieved(c, 15000.0 * 0.5)
     g2 = RL.gate("cfar_detect", slow, bests_path=path)
-    assert not g2["ok"] and g2["frac_of_best"] == 0.5
+    assert g2["ok"] and g2["frac_of_best"] == 0.5
+    slower = RL.achieved(c, 15000.0 * 0.4)
+    g2b = RL.gate("cfar_detect", slower, bests_path=path)
+    assert not g2b["ok"] and g2b["frac_of_best"] == 0.4
     fast = RL.achieved(c, 15000.0 * 1.2)
     g3 = RL.gate("cfar_detect", fast, bests_path=path)
     assert g3["ok"] and g3["best"] == g3["peak_frac"]
