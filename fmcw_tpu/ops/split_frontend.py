@@ -738,12 +738,18 @@ def _kernel_slowtime_fixed(re_ref, im_ref, hre_ref, him_ref,
     for j in range(n2l):
         mags.extend(slowtime_block(re_ref[:, pl.ds(j * n1, n1)],
                                    im_ref[:, pl.ds(j * n1, n1)]))
+    # Snapshot the saturation count BEFORE the halo block: halo columns are
+    # exact copies of columns the owning shard already counts, so including
+    # their iwin() saturations would double-count every event within
+    # halo_range of a shard seam vs the monolithic kernel (which counts
+    # each column exactly once).  Mirrors the float kernel's nonf handling.
+    sat_main = sat_box[0]
     halo_lo = halo_hi = None
     if h:
         hp = slowtime_block(hre_ref[...], him_ref[...])
         halo_lo = [m[:h, :] for m in hp]
         halo_hi = [m[h:, :] for m in hp]
-    _epilogue_outputs(mags, halo_lo, halo_hi, so, row_off, sat_box[0],
+    _epilogue_outputs(mags, halo_lo, halo_hi, so, row_off, sat_main,
                       det_ref, mag_ref, stats_ref, rmax_ref, rot_ref,
                       n2l=n2l, cfar=cfar, detect=detect,
                       emit_topk=emit_topk, peak_radius=peak_radius,

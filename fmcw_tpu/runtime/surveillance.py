@@ -74,6 +74,26 @@ def _with_watchdog(fn: Callable, timeout: float | None, what: str):
     return box["value"]
 
 
+def _write_scan_logs(det_log: str | None, trk_log: str | None,
+                     range_bin, doppler_bin, mag, v, rep) -> None:
+    """Append one scan's detections + track reports in the reference text
+    formats — the single place the log line layout lives (both the batched
+    and the hw-compat streaming runners write through here, so the
+    byte-identical-logs resume contract cannot drift between them)."""
+    if det_log:
+        rio.write_detections(det_log, range_bin[v], doppler_bin[v], mag[v],
+                             append=True)
+    if trk_log:
+        ids = np.nonzero(rep["report_mask"])[0]
+        rio.write_tracks(trk_log, [
+            {"id": t, "range_pos": rep["range_pos"][t],
+             "dopp_pos": rep["dopp_pos"][t],
+             "range_vel": rep["range_vel"][t],
+             "quality": rep["quality"][t],
+             "status": rep["status"][t]} for t in ids],
+            active_count=int(rep["active_tracks"]), append=True)
+
+
 @dataclasses.dataclass
 class ScanResult:
     scan: int
@@ -174,20 +194,9 @@ def run_surveillance(proc: Callable, frames: Iterable[np.ndarray],
         for i in range(n_valid):
             scan += 1
             v = out["valid"][i]
-            if det_log:
-                rio.write_detections(det_log, out["range_bin"][i][v],
-                                     out["doppler_bin"][i][v],
-                                     out["mag"][i][v], append=True)
             rep = {k: val[i] for k, val in reps.items()}
-            ids = np.nonzero(rep["report_mask"])[0]
-            if trk_log:
-                rio.write_tracks(trk_log, [
-                    {"id": t, "range_pos": rep["range_pos"][t],
-                     "dopp_pos": rep["dopp_pos"][t],
-                     "range_vel": rep["range_vel"][t],
-                     "quality": rep["quality"][t],
-                     "status": rep["status"][t]} for t in ids],
-                    active_count=int(rep["active_tracks"]), append=True)
+            _write_scan_logs(det_log, trk_log, out["range_bin"][i],
+                             out["doppler_bin"][i], out["mag"][i], v, rep)
             # tracker_state after intermediate scans is not materialized by
             # the fused scan; expose it on the batch's final scan (the
             # checkpointing boundary).
@@ -231,7 +240,12 @@ def run_surveillance_stream(proc, frames: Iterable[np.ndarray],
     state = (tracker_state if tracker_state is not None
              else jt.init_state(tp))
     hist = None if stream_hist is None else jnp.asarray(stream_hist)
-    resuming = start_scan > 0
+    # Any carried state means "resuming" (same convention as
+    # run_surveillance): a caller restoring tracker_state/stream_hist but
+    # keeping its own scan numbering must not have the existing logs
+    # truncated out from under it.
+    resuming = (tracker_state is not None or stream_hist is not None
+                or start_scan > 0)
     if not resuming:
         if det_log:
             open(det_log, "w").close()
@@ -252,19 +266,8 @@ def run_surveillance_stream(proc, frames: Iterable[np.ndarray],
                              jnp.asarray(v), tp=tp)
         rep = jax.tree.map(np.asarray, rep)
         state = {k: np.asarray(val) for k, val in final.items()}
-        if det_log:
-            rio.write_detections(det_log, out["range_bin"][v],
-                                 out["doppler_bin"][v], out["mag"][v],
-                                 append=True)
-        if trk_log:
-            ids = np.nonzero(rep["report_mask"])[0]
-            rio.write_tracks(trk_log, [
-                {"id": t, "range_pos": rep["range_pos"][t],
-                 "dopp_pos": rep["dopp_pos"][t],
-                 "range_vel": rep["range_vel"][t],
-                 "quality": rep["quality"][t],
-                 "status": rep["status"][t]} for t in ids],
-                active_count=int(rep["active_tracks"]), append=True)
+        _write_scan_logs(det_log, trk_log, out["range_bin"],
+                         out["doppler_bin"], out["mag"], v, rep)
         yield ScanResult(scan=scan, n_dets=int(np.sum(v)),
                          active_tracks=int(rep["active_tracks"]),
                          report=rep, tracker_state=state,

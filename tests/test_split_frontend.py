@@ -95,6 +95,29 @@ def test_split_bitexact_vs_monolithic_fixed():
     assert int(nd_s) == int(nd_m)
 
 
+def test_split_fixed_sat_count_excludes_halo():
+    """Doppler-window saturations within halo_range of the shard seam must
+    be counted ONCE (regression: kernel B's halo block used to re-run
+    iwin() on the exchanged column copies and re-count their saturation
+    events into the shard's stat — 9206 vs the monolithic kernel's 9166 on
+    this frame).  The crafted frame parks a near-full-scale tone at the TOP
+    range bin (inside the self-halo) with a Doppler ramp the MTI notch
+    passes, so the saturations land exactly in the halo columns."""
+    p = params()
+    nr, nd = p.n_range, p.n_doppler
+    n = np.arange(nr)[None, :]
+    c = np.arange(nd)[:, None]
+    z = 32000.0 * np.exp(2j * np.pi * ((nr - 1) * n / nr + 0.23 * c))
+    iq = pl.complex_to_iq(z.astype(np.complex64))
+    det_s, mag_s, sat_s, _, nd_s = run_split(p, iq, fixed=True, pgr=2)
+    det_m, mag_m, sat_m, _, nd_m = run_mono(p, iq, fixed=True, pgr=2)
+    assert int(sat_m) > 0          # non-vacuous: the frame does saturate
+    assert int(sat_s) == int(sat_m)
+    np.testing.assert_array_equal(dein_split(det_s, p), dein_mono(det_m, p))
+    np.testing.assert_array_equal(np.asarray(mag_s), np.asarray(mag_m))
+    assert int(nd_s) == int(nd_m)
+
+
 def test_split_bitexact_longcpi():
     """Long-CPI Doppler split (n_doppler = 256 -> n2d = 2 parity planes)."""
     p = params(nr=256, nd=256)

@@ -116,6 +116,18 @@ def main():
         "hardware": jax.devices()[0].device_kind,
         "meaningful": jax.default_backend() == "tpu" and n_dev > 1,
         "pass": biggest["weak_scaling_eff"] >= 0.90,
+        # Analytic substitute while real multi-chip hardware is out of
+        # reach (docs/scaling_model.md: per-frame collective bytes vs v5e
+        # ICI bandwidth against the 36 us/frame compute budget).  These
+        # projections are what the schema test pins; a real-slice run
+        # flips `meaningful` to true and records the measurement beside
+        # them.
+        "analytic_model": "docs/scaling_model.md",
+        "projected_eff": {
+            "dp=8": 1.0,
+            "sp=8_overlapped": 0.93,
+            "sp=8_no_overlap": 0.60,
+        },
     }
     print(json.dumps({"results": results, "northstar": northstar}))
     if northstar["meaningful"] and not northstar["pass"]:
