@@ -211,3 +211,12 @@ def test_surveillance_stream_checkpoint_resume(tmp_path):
                                     tracker_state=state, start_scan=scan))
     tail_good = open(d0, "rb").read()[int(rt["det_log_pos"]):]
     assert open(d2, "rb").read() != tail_good
+
+    # Carried state alone (start_scan=0) must also count as resuming: the
+    # runner appends instead of truncating the existing logs (regression —
+    # the stream runner's guard used to key on start_scan only).
+    pre = open(d1).read()
+    assert pre
+    list(sv.run_surveillance_stream(proc, frames[:1], Q, det_log=d1,
+                                    tracker_state=state))
+    assert open(d1).read().startswith(pre)   # appended, not truncated
