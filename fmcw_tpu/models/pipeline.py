@@ -148,6 +148,46 @@ def fused_frontend_supported(p: RadarParams) -> bool:
     return p.n_range % n1 == 0 and p.n_range // n1 <= 16
 
 
+def resolve_array_frontend(p: RadarParams, frontend: str, ref_angle: int,
+                           peak_group_radius: int, cfar_method: str,
+                           fft_method: str):
+    """Array-model front-end resolution + validation, shared by the
+    single-chip make_array_processor and parallel.make_sharded_array_processor
+    (one gate, so a mesh model can never auto-resolve differently from the
+    single-chip model it must stay detection-equal to).
+
+    'auto': ref_angle == 0 -> the fully-fused per-beam kernel (front-end +
+    in-kernel 2D decision); ref_angle > 0 -> the fused FRONT-END per beam
+    (detect=False) feeding the angle-extended 3D counting kernel — the
+    decision spans beams, so it cannot ride the per-beam epilogue, but the
+    front-end fusion still applies (docs/PERF_LOG.md round 4: ~3x
+    end-to-end over the XLA per-beam chain).
+
+    Returns ``(frontend, use_fused, use_fused_frontend)``."""
+    if frontend == "auto":
+        frontend = ("pallas" if (jax.default_backend() == "tpu"
+                                 and fft_method == "matmul"
+                                 and (fused_detect_supported(
+                                          p, "float32", peak_group_radius,
+                                          cfar_method)
+                                      if ref_angle == 0
+                                      else fused_frontend_supported(p)))
+                    else "xla")
+    if frontend == "pallas":
+        if ref_angle == 0 and not fused_detect_supported(
+                p, "float32", peak_group_radius, cfar_method):
+            raise ValueError(
+                "frontend='pallas' on the array model at ref_angle == 0 "
+                "needs fused-detect-compatible CfarParams "
+                "(fused_detect_supported)")
+        if ref_angle > 0 and not fused_frontend_supported(p):
+            raise ValueError(
+                "frontend='pallas' at ref_angle > 0 needs the fused "
+                "front-end shape (n_range = n2*128, n2 <= 16)")
+    return (frontend, frontend == "pallas" and ref_angle == 0,
+            frontend == "pallas" and ref_angle > 0)
+
+
 def fused_detect_frame(p: RadarParams, iq, mti_bypass, scale_override, *,
                        max_dets: int, mti_transient: str = "zero",
                        magnitude_exact: bool = False,
@@ -323,7 +363,6 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
     # for both the block-granular scale (kernel_scale grid) and the
     # reference-exact per-cell scale.  ``fuse_detect=False`` keeps the
     # standalone kernels (A/B benchmarking, debug taps).
-    kernel_percell = frontend == "pallas" and kernel_percell_supported(p)
     kernel_detect = (fuse_detect and frontend == "pallas" and not hw_cfar
                      and fused_detect_supported(
                          p, mode, peak_group_radius, cfar_method,
@@ -467,7 +506,10 @@ def make_processor(params: RadarParams | None = None, mode: str = "float32",
         return out
 
     def process(iq, mti_bypass=False, scale_override=0):
-        if iq.shape[-3:] != (p.n_doppler, p.n_range, 2):
+        # Strict single-frame shape: a batched (B, nd, nr, 2) array would
+        # pass a trailing-dims check and then trace the FFTs over the wrong
+        # axes (use make_batch_processor / vmap for batches).
+        if tuple(iq.shape) != (p.n_doppler, p.n_range, 2):
             raise ValueError(
                 f"expected iq frame of shape (n_doppler={p.n_doppler}, "
                 f"n_range={p.n_range}, 2), got {iq.shape}")
@@ -591,34 +633,8 @@ def make_array_processor(params: RadarParams | None = None,
     p = params or RadarParams()
     from ..ops import beamform as BF
     max_dets = p.tracker.max_dets
-    if frontend == "auto":
-        # ref_angle == 0: the fully-fused per-beam kernel (front-end +
-        # in-kernel 2D decision).  ref_angle > 0: the fused FRONT-END per
-        # beam (detect=False) feeding the angle-extended 3D counting kernel
-        # — the decision spans beams, so it cannot ride the per-beam
-        # epilogue, but the front-end fusion still applies (docs/PERF_LOG.md
-        # round 4: ~3x end-to-end over the XLA per-beam chain).
-        frontend = ("pallas" if (jax.default_backend() == "tpu"
-                                 and fft_method == "matmul"
-                                 and (fused_detect_supported(
-                                          p, "float32", peak_group_radius,
-                                          cfar_method)
-                                      if ref_angle == 0
-                                      else fused_frontend_supported(p)))
-                    else "xla")
-    use_fused = frontend == "pallas" and ref_angle == 0
-    use_fused_frontend = frontend == "pallas" and ref_angle > 0
-    if frontend == "pallas":
-        if ref_angle == 0 and not fused_detect_supported(
-                p, "float32", peak_group_radius, cfar_method):
-            raise ValueError(
-                "frontend='pallas' on the array model at ref_angle == 0 "
-                "needs fused-detect-compatible CfarParams "
-                "(fused_detect_supported)")
-        if ref_angle > 0 and not fused_frontend_supported(p):
-            raise ValueError(
-                "frontend='pallas' at ref_angle > 0 needs the fused "
-                "front-end shape (n_range = n2*128, n2 <= 16)")
+    frontend, use_fused, use_fused_frontend = resolve_array_frontend(
+        p, frontend, ref_angle, peak_group_radius, cfar_method, fft_method)
 
     @jax.jit
     def _process(iq, mti_bypass, scale_override):

@@ -331,8 +331,9 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
             magm, stat = SF.slowtime_detect(
                 sre, sim, mti_bypass=mti_bypass,
                 scale_override=scale_override, cfar=None, detect=False,
-                fixed=(mode == "fixed"), notch_mode=p.notch_mode,
-                transient=mti_transient, coef_width=p.coef_width,
+                exact_mag=magnitude_exact, fixed=(mode == "fixed"),
+                notch_mode=p.notch_mode, transient=mti_transient,
+                coef_width=p.coef_width,
                 window_rounding=window_rounding, interpret=interp)
             if mode == "fixed":
                 mag = magm.astype(jnp.int32)
@@ -458,6 +459,19 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
         check_vma=False,
     ))
 
+    return _make_process_wrapper(sharded, mesh, P("dp", "sp", None, None),
+                                 (p.n_doppler, p.n_range, 2), dp,
+                                 what="iq batch")
+
+
+def _make_process_wrapper(sharded, mesh, in_spec, expected_tail, dp,
+                          what="iq batch"):
+    """Shared host-side entry for the sharded processors (single place for
+    the multi-host input contract, so the frame and array models cannot
+    drift): strict shape checks, traced runtime controls, replicated-numpy
+    staging on multi-process meshes."""
+    multi_process = len({d.process_index for d in mesh.devices.flat}) > 1
+
     def _ctrl(x, dtype):
         # Traced runtime control: a 0-d numpy array stays a *dynamic* jit
         # argument (a Python scalar would be hashed static and recompile per
@@ -466,13 +480,13 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
         # the same host value and jit replicates it over the global mesh.
         return x if isinstance(x, jax.Array) else np.asarray(x, dtype)
 
-    multi_process = len({d.process_index for d in mesh.devices.flat}) > 1
-
     def process(iq, mti_bypass=False, scale_override=0):
-        if iq.ndim != 4 or iq.shape[1:] != (p.n_doppler, p.n_range, 2):
+        if (iq.ndim != 1 + len(expected_tail)
+                or tuple(iq.shape[1:]) != expected_tail):
             raise ValueError(
-                f"expected iq batch of shape (batch, {p.n_doppler}, "
-                f"{p.n_range}, 2), got {iq.shape}")
+                f"expected {what} of shape (batch, "
+                + ", ".join(str(d) for d in expected_tail)
+                + f"), got {iq.shape}")
         if iq.shape[0] % dp:
             raise ValueError(f"batch {iq.shape[0]} not divisible by dp={dp}")
         if multi_process and not isinstance(iq, jax.Array):
@@ -481,7 +495,7 @@ def make_sharded_processor(mesh: jax.sharding.Mesh,
             # contract); each process materializes only its addressable
             # shards.  Callers with genuinely distributed data pass a global
             # jax.Array instead (tools/multihost_worker.py shows both).
-            spec = jax.sharding.NamedSharding(mesh, P("dp", "sp", None, None))
+            spec = jax.sharding.NamedSharding(mesh, in_spec)
             arr = np.asarray(iq)
             iq = jax.make_array_from_callback(arr.shape, spec,
                                               lambda idx: arr[idx])
@@ -569,31 +583,11 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
             f"beam_group_radius ({beam_group_radius}) must not exceed the "
             f"local beam extent (n_beams/sp = {bl})")
     max_dets = p.tracker.max_dets
-    if frontend == "auto":
-        # Same resolution as pipeline.make_array_processor: fully-fused
-        # per-beam kernel at ref_angle == 0; fused FRONT-END (detect=False)
-        # feeding the angle-extended 3D counting kernel at ref_angle > 0.
-        frontend = ("pallas" if (jax.default_backend() == "tpu"
-                                 and fft_method == "matmul"
-                                 and (PL.fused_detect_supported(
-                                          p, "float32", peak_group_radius,
-                                          cfar_method)
-                                      if ref_angle == 0
-                                      else PL.fused_frontend_supported(p)))
-                    else "xla")
-    use_fused = frontend == "pallas" and ref_angle == 0
-    use_fused_frontend = frontend == "pallas" and ref_angle > 0
-    if frontend == "pallas":
-        if ref_angle == 0 and not PL.fused_detect_supported(
-                p, "float32", peak_group_radius, cfar_method):
-            raise ValueError(
-                "frontend='pallas' on the array model at ref_angle == 0 "
-                "needs fused-detect-compatible CfarParams "
-                "(pipeline.fused_detect_supported)")
-        if ref_angle > 0 and not PL.fused_frontend_supported(p):
-            raise ValueError(
-                "frontend='pallas' at ref_angle > 0 needs the fused "
-                "front-end shape (n_range = n2*128, n2 <= 16)")
+    # One resolution gate shared with the single-chip array model
+    # (pipeline.resolve_array_frontend): a mesh must never auto-resolve to
+    # a different front-end than the single chip it is parity-tested against.
+    frontend, use_fused, use_fused_frontend = PL.resolve_array_frontend(
+        p, frontend, ref_angle, peak_group_radius, cfar_method, fft_method)
 
     def frame_fn(iq, mti_bypass, scale_override):
         """Per-(dp, sp) shard single-cube body.  iq local shape:
@@ -663,10 +657,27 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
                 # slices directly — no de-interleave.  Row maxes are
                 # recomputed post-group so extraction keeps the row-select
                 # reduction (pipeline.make_array_processor, PERF_LOG r4).
-                det_g = _beam_group(det_s.reshape(bl, sl, ndl))
-                flat = det_g.reshape(bl * sl, ndl)
-                local = DET.topk_detections(
-                    flat, max_dets=max_dets, row_max=jnp.max(flat, axis=1))
+                if sp == 1:
+                    # All beams local: the one-pass grouping kernel emits
+                    # the grouped planes + post-group row maxes + counts,
+                    # same as the single-chip array model — XLA reads back
+                    # only the winning rows instead of re-reducing the full
+                    # det cube (cfar_pallas.peak_group_beams_pallas,
+                    # bit-identical to peak_group_beams).
+                    from ..ops.cfar_pallas import peak_group_beams_pallas
+                    det_g, rmax2, nd2 = peak_group_beams_pallas(
+                        det_s.reshape(bl, sl, ndl),
+                        radius=beam_group_radius,
+                        interpret=jax.default_backend() != "tpu")
+                    flat = det_g.reshape(bl * sl, ndl)
+                    local = DET.topk_detections(
+                        flat, max_dets=max_dets, row_max=rmax2, n_dets=nd2)
+                else:
+                    det_g = _beam_group(det_s.reshape(bl, sl, ndl))
+                    flat = det_g.reshape(bl * sl, ndl)
+                    local = DET.topk_detections(
+                        flat, max_dets=max_dets,
+                        row_max=jnp.max(flat, axis=1))
                 local_b, local_r = _remap(local)
                 if include_maps:
                     maps["mag_cube"] = mag_s
@@ -774,27 +785,7 @@ def make_sharded_array_processor(mesh: jax.sharding.Mesh,
         check_vma=False,
     ))
 
-    def _ctrl(x, dtype):
-        return x if isinstance(x, jax.Array) else np.asarray(x, dtype)
-
-    multi_process = len({d.process_index for d in mesh.devices.flat}) > 1
-
-    def process(iq, mti_bypass=False, scale_override=0):
-        if iq.ndim != 5 or iq.shape[1:] != (n_elems, p.n_doppler,
-                                            p.n_range, 2):
-            raise ValueError(
-                f"expected element-space iq batch of shape (batch, "
-                f"{n_elems}, {p.n_doppler}, {p.n_range}, 2), got {iq.shape}")
-        if iq.shape[0] % dp:
-            raise ValueError(f"batch {iq.shape[0]} not divisible by dp={dp}")
-        if multi_process and not isinstance(iq, jax.Array):
-            spec = jax.sharding.NamedSharding(
-                mesh, P("dp", None, None, None, None))
-            arr = np.asarray(iq)
-            iq = jax.make_array_from_callback(arr.shape, spec,
-                                              lambda idx: arr[idx])
-        return sharded(iq, _ctrl(mti_bypass, np.bool_),
-                       _ctrl(scale_override, np.int32))
-
-    process.jitted = sharded
-    return process
+    return _make_process_wrapper(sharded, mesh,
+                                 P("dp", None, None, None, None),
+                                 (n_elems, p.n_doppler, p.n_range, 2), dp,
+                                 what="element-space iq batch")

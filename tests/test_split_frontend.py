@@ -238,6 +238,29 @@ def test_sharded_split_block_scale_path():
                                   np.asarray(det_ref))
 
 
+def test_sharded_split_magnitude_exact():
+    """magnitude_exact must flow through the magnitude-only kernel B
+    (regression: the block-scale fall-through dropped exact_mag, silently
+    computing alpha-max-beta-min magnitudes on the sharded path while the
+    single chip computed hypot)."""
+    p = params(nr=256, nd=64, scale_mode="block", scale_block=8)
+    mesh = mk_mesh(1, 2)
+    proc = sh.make_sharded_processor(mesh, p, mode="float32",
+                                     frontend="pallas", include_maps=True,
+                                     magnitude_exact=True)
+    batch = np.stack([frame(p)])
+    out = proc(batch)
+    mag_mono = np.asarray(rdm_frontend(batch[0], False,
+                                       notch_mode=p.notch_mode,
+                                       exact_mag=True, interpret=True))
+    np.testing.assert_array_equal(np.asarray(out["mag_map"][0]), mag_mono)
+    # Non-vacuous: the exact (hypot) map differs from alpha-max-beta-min.
+    approx = np.asarray(rdm_frontend(batch[0], False,
+                                     notch_mode=p.notch_mode,
+                                     interpret=True))
+    assert not np.array_equal(mag_mono, approx)
+
+
 def test_split_gate_fallback():
     """Shapes the split kernels can't take (n_range/sp not a 128 multiple)
     fall back to the XLA chain under auto and raise under explicit pallas."""
