@@ -92,9 +92,16 @@ def read_iq_pairs(path: str, max_samples: int = 1 << 22) -> np.ndarray:
 
 def read_rdm_map(path: str, n_range: int = 1024,
                  n_doppler: int = 128) -> np.ndarray:
-    """Native-speed version of utils.io.read_rdm_map (5-column format)."""
-    v = parse_ints(path, 5 * n_range * n_doppler * 2)
-    v = v.reshape(-1, 5)
+    """Native-speed version of utils.io.read_rdm_map (5-column format).
+
+    The value cap is sized from the file (every int token including its
+    separator is >= 2 bytes) so a log holding many CPIs parses completely
+    and the numpy path's "later duplicate cells win" overwrite contract
+    holds identically here — a fixed cap would silently keep the EARLY
+    CPIs' magnitudes instead."""
+    cap = max(os.path.getsize(path) // 2 + 8, 5)
+    v = parse_ints(path, cap)
+    v = v[: (len(v) // 5) * 5].reshape(-1, 5)
     m = np.zeros((n_range, n_doppler), dtype=np.int64)
     m[v[:, 0], v[:, 1]] = v[:, 4]
     return m
@@ -149,6 +156,7 @@ class FrameRing:
         return False
 
     def try_push(self, frame: np.ndarray) -> bool:
+        import queue
         f = np.ascontiguousarray(frame, dtype=np.int16)
         if self._lib is not None:
             return self._lib.fmcwio_ring_try_push(self._ring, self._ptr(f)) == 1
@@ -157,7 +165,7 @@ class FrameRing:
         try:
             self._q.put_nowait(f.copy())
             return True
-        except Exception:
+        except queue.Full:      # ONLY the overflow condition reads as a drop
             return False
 
     def pop(self) -> np.ndarray | None:
@@ -223,13 +231,20 @@ class FileFrameStreamer:
                 try:
                     elems = self.ring.elems
                     for _ in range(loops):
-                        raw = np.fromfile(path, dtype=np.int16)
-                        for i in range(len(raw) // elems):
-                            if not self.ring.push(
-                                    raw[i * elems:(i + 1) * elems]
-                                    .reshape(frame_shape)):
-                                return
-                            self._pushed += 1
+                        # Stream one frame per read (the native thread's
+                        # behavior): a multi-GB capture never materializes
+                        # whole in memory; a trailing partial frame is
+                        # dropped, same as the C++ loop.
+                        with open(path, "rb") as fh:
+                            while True:
+                                buf = np.fromfile(fh, dtype=np.int16,
+                                                  count=elems)
+                                if len(buf) < elems:
+                                    break
+                                if not self.ring.push(
+                                        buf.reshape(frame_shape)):
+                                    return
+                                self._pushed += 1
                 except Exception as e:  # surfaced by join()
                     self._err = e
                 finally:
@@ -244,19 +259,22 @@ class FileFrameStreamer:
             yield f
 
     def join(self) -> int:
-        """Wait for the producer; return the number of frames pushed."""
+        """Wait for the producer; return the number of frames pushed.
+        Raises the producer's IO error — on EVERY call, not just the first
+        (the -1 sentinel survives, so a later close()/join() re-raises
+        instead of dereferencing a thread handle native mode never had)."""
         if self._joined is None:
             if self._job is not None:
-                n = self.ring._lib.fmcwio_stream_join(self._job)
+                self._joined = int(self.ring._lib.fmcwio_stream_join(
+                    self._job))
                 self._job = None
-                if n == -1:
-                    raise FileNotFoundError(self._path)
-                self._joined = int(n)
             else:
                 self._th.join()
-                if self._err is not None:
-                    raise self._err
-                self._joined = self._pushed
+                self._joined = -1 if self._err is not None else self._pushed
+        if self._joined == -1:
+            if getattr(self, "_err", None) is not None:
+                raise self._err
+            raise FileNotFoundError(self._path)
         return self._joined
 
     def close(self) -> None:

@@ -62,7 +62,7 @@ def stream(proc: Callable, frames: Iterable[np.ndarray], depth: int = 2,
     for f in frames:
         st.frames_in += 1
         if len(inflight) >= depth:
-            if policy == "drop" and not ready(inflight[0][0]):
+            if policy == "drop" and not ready(inflight[0]):
                 st.frames_dropped += 1
                 continue
             out = inflight.popleft()

@@ -52,8 +52,10 @@ def _with_watchdog(fn: Callable, timeout: float | None, what: str):
     """Run ``fn`` under a wall-clock watchdog.  On timeout the stalled call
     keeps running on a daemon thread (a hung device call cannot be
     cancelled), but the runtime surfaces SurveillanceStallError immediately
-    so the caller can fail over / restart instead of hanging."""
-    if not timeout:
+    so the caller can fail over / restart instead of hanging.  Only None
+    disables the watchdog (a zero/near-zero budget still guards — it trips
+    unless fn is already done — rather than silently running unguarded)."""
+    if timeout is None:
         return fn()
     box: dict = {}
 

@@ -135,18 +135,28 @@ def gate(name: str, ach: dict, threshold: float = 0.5,
             bests = json.load(fh)
     except (OSError, ValueError):
         bests = {}
-    key = "frac_" + ach["bound_by"] + "_peak"
+    rec = bests.get(name, {})
+    # Gate on the RECORDED regime's resource: if this run's op/byte model
+    # resolves to a different bound_by than the record (params/emit flags
+    # changed), comparing the new resource against a never-recorded key
+    # would auto-pass and overwrite the record — exactly when the gate
+    # should look hardest.  The current run always carries all three
+    # fractions, so the recorded resource is always comparable.
+    gate_by = rec.get("bound_by", ach["bound_by"])
+    key = "frac_" + gate_by + "_peak"
     frac = ach[key]
-    best = bests.get(name, {}).get(key, 0.0)
+    best = rec.get(key, 0.0)
     if frac > best:
-        bests.setdefault(name, {})[key] = frac
-        bests[name]["bound_by"] = ach["bound_by"]
+        entry = {k: v for k, v in ach.items() if k.startswith("frac_")}
+        entry["bound_by"] = ach["bound_by"]
+        bests[name] = entry
         try:
             with open(path, "w") as fh:
                 json.dump(bests, fh, indent=1)
         except OSError:
             pass
         best = frac
-    return {"peak_frac": frac, "best": best,
+    return {"peak_frac": ach["frac_" + ach["bound_by"] + "_peak"],
+            "gated_on": gate_by, "best": best,
             "frac_of_best": round(frac / best, 3) if best else 1.0,
             "ok": best == 0.0 or frac >= threshold * best}

@@ -148,7 +148,6 @@ def resolve_track_velocities(tracks: dict, n_doppler: int,
 def notch_analysis(tracks: dict, scan_counts: list, notch_scan: int) -> dict:
     """Notch-maneuver survival analysis (visualize_radar_targets.py:324-366):
     how many tracks survive (coast) through the notch window vs drop."""
-    window = range(notch_scan, notch_scan + 4)
     survived, lost = 0, 0
     for tid, t in tracks.items():
         before = any(s < notch_scan for s in t.scans)
@@ -158,9 +157,13 @@ def notch_analysis(tracks: dict, scan_counts: list, notch_scan: int) -> dict:
                 survived += 1
             else:
                 lost += 1
-    active_before = scan_counts[notch_scan - 2] if len(scan_counts) >= notch_scan - 1 else 0
+    # Guard both ends: a notch in the first two scans has no "before"
+    # sample (a negative index would silently wrap to the END of the run),
+    # and the 3-scan notch window needs scans through notch_scan+2.
+    pre = notch_scan - 2
+    active_before = scan_counts[pre] if 0 <= pre < len(scan_counts) else 0
     active_during = (min(scan_counts[notch_scan:notch_scan + 3])
-                     if len(scan_counts) > notch_scan + 3 else 0)
+                     if len(scan_counts) >= notch_scan + 3 else 0)
     return {"tracks_survived": survived, "tracks_lost": lost,
             "active_before_notch": active_before,
             "min_active_during_notch": active_during}

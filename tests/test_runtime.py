@@ -32,6 +32,22 @@ def test_stream_yields_all_in_order():
     assert int(np.asarray(outs[2]["n_dets"])) == int(np.asarray(ref_out["n_dets"]))
 
 
+def test_stream_drop_policy_runs_and_accounts():
+    """policy='drop' must consume the whole source and account every frame
+    as processed or dropped (regression: the ready-probe indexed
+    inflight[0][0] on the proc output DICT -> KeyError the first time the
+    in-flight window filled)."""
+    proc = pl.make_processor(Q, mode="float32", include_maps=False)
+    stats = rs.StreamStats()
+    outs = list(rs.stream(proc, _frames(6), depth=2, policy="drop",
+                          stats=stats))
+    assert stats.frames_in == 6
+    assert stats.frames_processed == len(outs)
+    assert stats.frames_processed + stats.frames_dropped == 6
+    for o in outs:                       # every yielded result is complete
+        assert int(np.asarray(o["n_dets"])) >= 0
+
+
 def test_stream_batched_pads_and_masks():
     proc = pl.make_batch_processor(Q, mode="float32", include_maps=False)
     stats = rs.StreamStats()
