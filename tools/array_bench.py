@@ -8,7 +8,8 @@ readback sync, distinct noise per frame):
   * frontend="pallas" — fused per-beam Pallas front-end+detect kernel on
                         the beamformed float I/Q (per-cell and block scale)
 
-Run: python tools/array_bench.py [--batch N] [--beams B]
+Run: python tools/array_bench.py [--batch N] [--beams B] [--ref-angle A]
+(--ref-angle > 0 measures the angle-extended 3D-CFAR regime instead.)
 """
 
 import os
@@ -37,11 +38,14 @@ def main():
     from fmcw_tpu.golden import reference
     from fmcw_tpu.models import pipeline as pl
 
-    argv = sys.argv[1:]
-    batch_size = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 16
-    n_beams = int(argv[argv.index("--beams") + 1]) if "--beams" in argv else 8
-    ref_angle = (int(argv[argv.index("--ref-angle") + 1])
-                 if "--ref-angle" in argv else 0)
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="Array-radar model throughput A/B")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--beams", type=int, default=8)
+    ap.add_argument("--ref-angle", type=int, default=0)
+    args = ap.parse_args()
+    batch_size, n_beams, ref_angle = args.batch, args.beams, args.ref_angle
     n_elems = n_beams
 
     p = RadarParams()
@@ -111,31 +115,32 @@ def main():
             dt = time.perf_counter() - t0
             best = max(best, batch_size * 8 / dt)
         o = jax.tree.map(np.asarray, fn(batch_dev))
+
+        def dset(x):
+            # Full detection SET (both sides' own valid masks, beam +
+            # range + doppler) — a slot-aligned compare under the
+            # reference's mask could miss extra detections entirely.
+            v = x["valid"][0]
+            return set(zip(x["beam_bin"][0][v].tolist(),
+                           x["range_bin"][0][v].tolist(),
+                           x["doppler_bin"][0][v].tolist()))
+
         if "grouped" in name:
             ok = "n/a (grouped: different detection set)"
+        elif "block" in name:
+            ok = "n/a (block scale: different detector)"
         elif ref is None:
             ref = o
             ok = True
-        elif "fused-frontend" in name:
-            # bf16x3 front-end vs the HIGHEST XLA chain: detection SETS
-            # agree up to near-tie survivor flips at the top-64 boundary
-            # (the contract of tests/test_array_pipeline.py).
-            def dset(x):
-                v = x["valid"][0]
-                return set(zip(x["beam_bin"][0][v].tolist(),
-                               x["range_bin"][0][v].tolist(),
-                               x["doppler_bin"][0][v].tolist()))
+        else:
+            # bf16x3 kernel front-end vs the HIGHEST XLA chain: detection
+            # SETS agree up to near-tie survivor flips at the top-64
+            # boundary (the contract of tests/test_array_pipeline.py).
             da, db = dset(ref), dset(o)
             flips = len(da ^ db)
             ok = bool(da and flips <= max(2, len(da) // 8))
             if flips:
                 log(f"  ({flips} near-tie set flips vs xla)")
-        else:
-            v = ref["valid"][0]
-            ok = bool(np.array_equal(o["range_bin"][0][v],
-                                     ref["range_bin"][0][v])
-                      and np.array_equal(o["beam_bin"][0][v],
-                                         ref["beam_bin"][0][v]))
         results[name] = (best, ok)
         log(f"{name}: {best:.1f} cubes/s = {best * n_beams:.0f} beam-maps/s"
             f"  detection-parity={ok}")

@@ -84,25 +84,33 @@ def main():
         dt = time.perf_counter() - t0
         return batch_size * args.iters / dt
 
+    # Chip counts to sweep: powers of two PLUS the full slice, so a
+    # 6/12-chip slice gates its northstar on all its chips, not on the
+    # largest power of two below them.
+    def counts(start):
+        ns, n = [], start
+        while n <= n_dev:
+            ns.append(n)
+            n *= 2
+        if n_dev not in ns and n_dev >= start:
+            ns.append(n_dev)
+        return ns
+
     results = []
     # dp weak scaling: n chips, n * batch frames.
-    n = 1
-    while n <= n_dev:
+    for n in counts(1):
         mesh = M.make_mesh(dp=n, sp=1, devices=jax.devices()[:n])
         fps = bench(mesh, args.batch * n)
         results.append({"config": f"dp={n}", "chips": n, "fps": round(fps, 1)})
         print(f"dp={n}: {fps:.1f} fps", file=sys.stderr)
-        n *= 2
     # sp scaling at fixed batch: map sharded across chips.
-    n = 2
-    while n <= n_dev:
+    for n in counts(2):
         if p.n_doppler % n == 0 and p.n_range % n == 0:
             mesh = M.make_mesh(dp=1, sp=n, devices=jax.devices()[:n])
             fps = bench(mesh, args.batch)
             results.append({"config": f"sp={n}", "chips": n,
                             "fps": round(fps, 1)})
             print(f"sp={n}: {fps:.1f} fps", file=sys.stderr)
-        n *= 2
 
     base_fps = results[0]["fps"]
     for r in results:

@@ -75,16 +75,23 @@ def main():
         f = functools.partial(C.cfar_2d_hw_stream, cfar=p.cfar, integer=True,
                               need_debug=False, layout=layout, method=method)
         batched = jax.jit(jax.vmap(lambda m: f(m)[0]))
-        return batched
+        # The TIMED variant reduces on device so the completion barrier
+        # reads back one int64, not the ~16 MB of batch-32 det maps (the
+        # CLAUDE.md small-readback rule — a full-map readback adds ~0.3-0.5s
+        # of tunnel transfer per rep and compresses every ratio toward 1x).
+        timed = jax.jit(
+            lambda mm: jnp.sum(jax.vmap(lambda m: f(m)[0])(mm)
+                               .astype(jnp.int64)))
+        return batched, timed
 
     results = {}
     outs = {}
-    for name, fn in (("xla-flat", make_op("xla")),
-                     ("xla-2d", make_op("xla", "2d")),
-                     ("pallas", make_op("pallas"))):
-        fps = bench(fn, md, lambda o: np.asarray(o).sum())
+    for name, (fn, timed) in (("xla-flat", make_op("xla")),
+                              ("xla-2d", make_op("xla", "2d")),
+                              ("pallas", make_op("pallas"))):
+        fps = bench(timed, md, lambda o: int(np.asarray(o)))
         results[f"op-{name}"] = fps
-        outs[name] = np.asarray(fn(md))
+        outs[name] = np.asarray(fn(md))   # full maps once, untimed (parity)
         log(f"op-{name}: {fps:.1f} maps/s")
     same = all(np.array_equal(outs["xla-flat"], outs[k])
                for k in ("xla-2d", "pallas"))

@@ -179,11 +179,15 @@ def main():
                   f"(chained k={r['chain_k']})")
         # hw-compat streaming CFAR: first-detection latency of the as-built
         # streaming geometry, serialized by its real inter-frame carry.
-        device_resident["hw_stream_fixed"] = measure_device_resident(
-            p, frame, "fixed", k=min(args.chain_k, 128), hw_stream=True)
-        r = device_resident["hw_stream_fixed"]
-        print(f"hw_stream/fixed DEVICE-RESIDENT: p50={r['p50_us']:.0f}us "
-              f"(chained k={r['chain_k']})")
+        # Only when fixed mode is in the sweep — --mode float32 must not
+        # pay two unrequested fixed-chain TPU compiles (10+ min in bad
+        # phases, CLAUDE.md).
+        if "fixed" in modes:
+            device_resident["hw_stream_fixed"] = measure_device_resident(
+                p, frame, "fixed", k=min(args.chain_k, 128), hw_stream=True)
+            r = device_resident["hw_stream_fixed"]
+            print(f"hw_stream/fixed DEVICE-RESIDENT: p50={r['p50_us']:.0f}us "
+                  f"(chained k={r['chain_k']})")
     print("[reference budget ~0.66 ms CPI fill + pipeline; tunneled-TPU "
           "numbers include ~2-4 ms dispatch RTT — see methodology note]")
     if args.out:

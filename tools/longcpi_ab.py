@@ -9,7 +9,9 @@ chirps and has no opt-out — the dense-operator baseline is the r2
 recorded 74% per-sample efficiency (docs/PERF_LOG.md "256-chirp CPI");
 the r4 split measured 1.09 (same file).
 
-Run: python tools/longcpi_ab.py [--batch 128] [--batch-long 64]
+Run: python tools/longcpi_ab.py [--batch 128] [--batch-long 128]
+(both default to 128 — the r4 batch sweep's operating point for BOTH
+shapes; note the long shape's frames are 2x the size at the same batch.)
 """
 
 import os
@@ -38,10 +40,12 @@ def main():
     from fmcw_tpu.golden import reference
     from fmcw_tpu.models import pipeline as pl
 
-    argv = sys.argv[1:]
-    b_ctrl = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 128
-    b_long = (int(argv[argv.index("--batch-long") + 1])
-              if "--batch-long" in argv else 128)
+    import argparse
+    ap = argparse.ArgumentParser(description="Long-CPI same-run A/B")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch-long", type=int, default=128)
+    args = ap.parse_args()
+    b_ctrl, b_long = args.batch, args.batch_long
     log(f"devices: {jax.devices()}")
 
     rng = np.random.default_rng(0)

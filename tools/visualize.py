@@ -94,6 +94,12 @@ def main():
     open(det_log, "w").close()
     open(trk_log, "w").close()
 
+    if args.hw_compat and (args.array or args.sharded):
+        # Checked BEFORE the mode chain: the array/sharded branches win the
+        # elif below, so a check inside the hw_compat branch could never
+        # fire and --hw-compat would be silently dropped.
+        ap.error("--hw-compat is single-chip by design (the as-built "
+                 "streaming semantics are one sequential stream)")
     if args.array:
         if args.iq_file or args.record or args.mode != "float32":
             ap.error("--array is float32/synthetic-scenario only "
@@ -125,9 +131,6 @@ def main():
             lambda x: np.asarray(x)[0], sproc(iq[None]))
         print(f"mesh: dp=1 sp={args.sharded} on {jax.devices()[0].platform}")
     elif args.hw_compat:
-        if args.array or args.sharded:
-            ap.error("--hw-compat is single-chip by design (the as-built "
-                     "streaming semantics are one sequential stream)")
         hproc = pl.make_processor(p, mode=args.mode,
                                   cfar_geometry="hw_stream",
                                   peak_group_radius=2, include_maps=True)
@@ -228,8 +231,6 @@ def main():
     print(f"{n_scans} scans in {dt:.1f}s ({n_scans / max(dt, 1e-9):.1f} "
           f"scans/s)")
 
-    if "mag_map" not in out:
-        last_map = None
     files = viz.render(det_path=det_log, trk_path=trk_log, mag_map=last_map,
                        out_prefix=os.path.join(args.out, "radar"),
                        n_range=p.n_range, n_doppler=p.n_doppler,
