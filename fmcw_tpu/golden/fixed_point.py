@@ -123,11 +123,17 @@ def bfp_fft(i: np.ndarray, q: np.ndarray, axis: int = -1):
     """Forward DFT with per-transform block-floating-point normalization.
 
     Each transform (each 1D slice along ``axis``) is scaled by 2^-s with
-    s = max(0, ceil(log2((peak+1)/2^15))) where peak is the largest |Re|/|Im|
+    s = max(0, ceil(log2(peak/2^15))) where peak is the largest |Re|/|Im|
     of the unscaled DFT, so the peak lands in the top octave of int16 —
     emulating the Xilinx BFP behavior of maximizing precision without
-    overflow.  The block exponent is discarded, exactly as the reference
-    discards the XFFT tuser field (rtl/src/radar_core.vhd:310).
+    overflow.  Note the exact-power-of-two corner this formula implies: a
+    positive peak of exactly 2^15 * 2^k scales to +32768 and saturates to
+    32767 (1 LSB), while a -32768 peak survives — int16's asymmetry, and
+    the behavior every other implementation in the repo (ops/fft.bfp_
+    quantize, frontend_pallas._bfp_scale) reproduces bit-for-bit; write new
+    twins from THIS formula, not from a no-overflow paraphrase.  The block
+    exponent is discarded, exactly as the reference discards the XFFT
+    tuser field (rtl/src/radar_core.vhd:310).
 
     Returns (i_out, q_out) int64 arrays holding int16-ranged values.
     """

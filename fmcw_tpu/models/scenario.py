@@ -202,7 +202,7 @@ class TacticalScenario:
         tb_tactical.vhd:247-319."""
         p, cfg = self.p, self.cfg
         self._advance(scan)
-        prf = cfg.prf_hz[(scan - 1) % 3]
+        prf = cfg.prf_hz[(scan - 1) % len(cfg.prf_hz)]
         truth = self.truth(prf)
         acc = np.zeros((p.n_doppler, p.n_range), dtype=np.complex128)
         for rb, db, amp in truth:
@@ -228,7 +228,7 @@ class TacticalScenario:
         single-channel stimulus bit-for-bit."""
         p, cfg = self.p, self.cfg
         self._advance(scan)
-        prf = cfg.prf_hz[(scan - 1) % 3]
+        prf = cfg.prf_hz[(scan - 1) % len(cfg.prf_hz)]
         truth = []
         tones = []
         for t in self.fighters + self.attackers:

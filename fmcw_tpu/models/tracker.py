@@ -60,10 +60,15 @@ def step(state: dict, det_range: jnp.ndarray, det_doppler: jnp.ndarray,
     s = {k: v.astype(jnp.int32) for k, v in state.items()}
     n = tp.max_tracks
 
-    dr = det_range.astype(jnp.int32)
-    dd = det_doppler.astype(jnp.int32)
-    dm = det_mag.astype(jnp.int32)
-    dv = det_valid
+    # The hardware's detection buffer holds max_dets entries
+    # (radar_core.vhd:15): longer arrays are truncated exactly like
+    # golden.tracker.step's [:max_dets] slice — without this, extra
+    # detections would initiate tracks the golden model never sees and the
+    # bit-exactness contract would silently break.
+    dr = det_range[: tp.max_dets].astype(jnp.int32)
+    dd = det_doppler[: tp.max_dets].astype(jnp.int32)
+    dm = det_mag[: tp.max_dets].astype(jnp.int32)
+    dv = det_valid[: tp.max_dets]
     meas_r = _wrap(dr << 2, 12)
     meas_d = _wrap(dd << 2, 9)
 

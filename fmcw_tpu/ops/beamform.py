@@ -35,8 +35,13 @@ def steering_matrix(n_elems: int, n_beams: int, spacing_wl: float = 0.5,
     ``taper``: None (uniform) or "hamming" (sidelobe taper across elements,
     reusing the window definition of ops/window.hamming_float).
     """
-    u = np.linspace(-np.sin(np.deg2rad(max_angle_deg)),
-                    np.sin(np.deg2rad(max_angle_deg)), n_beams)
+    if n_beams == 1:
+        # A single beam points broadside (linspace(-a, a, 1) would return
+        # [-a] and silently steer it to -max_angle).
+        u = np.zeros(1)
+    else:
+        u = np.linspace(-np.sin(np.deg2rad(max_angle_deg)),
+                        np.sin(np.deg2rad(max_angle_deg)), n_beams)
     e = np.arange(n_elems)
     phase = -2.0 * np.pi * spacing_wl * np.outer(u, e)
     t = np.ones(n_elems)

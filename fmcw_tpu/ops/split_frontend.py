@@ -821,6 +821,14 @@ def slowtime_detect(re: jnp.ndarray, im: jnp.ndarray,
                 "with variant os/ca/go/so and scale_mode='cell' (block "
                 "scale uses detect=False + the standalone kernel)")
         h = cfar.halo_range + pr
+        if pr > 0 and n_range_total <= 0:
+            # The grouping tie-break compares GLOBAL wrap distances; with
+            # the default n_range_total=0 the predicate degenerates (every
+            # plateau cell sees its twin as the keeper) and tied targets
+            # vanish instead of keeping one peak.
+            raise ValueError(
+                "peak_group_radius > 0 needs n_range_total (the GLOBAL "
+                "range extent) for the wrap tie-break")
         if halo_lo is None or halo_hi is None:
             raise ValueError("detect=True needs halo_lo/halo_hi column "
                              "pairs (halo_range + peak_group_radius wide)")
@@ -983,12 +991,19 @@ def split_frontend_frame(iq, mti_bypass=False, scale_override=0, *,
     else:
         re, im = out_a
     h = cfar.halo_range + peak_group_radius
-    if edge_mode == "wrap":
-        lo = (re[:, -h:], im[:, -h:])
-        hi = (re[:, :h], im[:, :h])
-    else:                                   # reflect (np.pad semantics)
-        lo = (re[:, 1:h + 1][:, ::-1], im[:, 1:h + 1][:, ::-1])
-        hi = (re[:, -h - 1:-1][:, ::-1], im[:, -h - 1:-1][:, ::-1])
+    if edge_mode != "wrap":
+        # Kernel B's in-kernel decision wraps the Doppler axis by lane
+        # rolls and validates cfar.edge_mode == 'wrap'; feeding it reflect
+        # range halos would produce a range-reflect/Doppler-wrap hybrid
+        # matching neither golden edge mode.  Reflect-edge configs run the
+        # sharded kernel-B magnitude-only path + the standalone CFAR
+        # kernel on reflect-padded maps (parallel/sharded.py) instead.
+        raise ValueError(
+            "split_frontend_frame's fused decision supports edge_mode="
+            "'wrap' only (got %r); reflect configs take the kernel-B "
+            "magnitude-only + standalone-CFAR composition" % (edge_mode,))
+    lo = (re[:, -h:], im[:, -h:])
+    hi = (re[:, :h], im[:, :h])
     det_s, mag, stat, rmax, ndets = slowtime_detect(
         re, im, lo, hi, mti_bypass, scale_override, 0,
         cfar=cfar, detect=True, emit_mag=emit_mag,
