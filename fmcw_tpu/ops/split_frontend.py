@@ -778,8 +778,10 @@ def slowtime_detect(re: jnp.ndarray, im: jnp.ndarray,
 
     ``halo_lo``/``halo_hi``: (re, im) pairs of (nd, h) complex columns —
     the ``h = cfar.halo_range + peak_group_radius`` range bins just below /
-    above this shard's block (ring-exchanged by the caller; wrap or reflect
-    edge semantics are the caller's choice of columns).  The kernel
+    above this shard's block (ring-exchanged by the caller; the RANGE-seam
+    columns are the caller's choice, but the in-kernel decision itself is
+    wrap-only — ``cfar.edge_mode == 'wrap'`` is validated, since the
+    Doppler axis wraps by lane rolls).  The kernel
     computes their slow-time/magnitude (and, when grouping, their CFAR
     decisions) locally — bit-identical to what the owning shard computes,
     since they are exact copies of its columns.
