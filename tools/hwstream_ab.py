@@ -81,7 +81,7 @@ def main():
         # of tunnel transfer per rep and compresses every ratio toward 1x).
         timed = jax.jit(
             lambda mm: jnp.sum(jax.vmap(lambda m: f(m)[0])(mm)
-                               .astype(jnp.int64)))
+                               .astype(jnp.int32)))  # 0/1 maps: sum < 2^31
         return batched, timed
 
     results = {}
