@@ -20,3 +20,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables and tracing caches after each test module.
+
+    A full-suite run accumulates gigabytes of live compiled programs across
+    ~30 modules; that heap pressure has produced flaky SIGSEGVs inside
+    XLA:CPU's compiler on the suite's largest program (the interpret-mode
+    fused kernel late in the alphabet) while the identical compile succeeds
+    in a fresh process.  Modules don't share compilations anyway, so the
+    only cost is recompiling a module's own fixtures."""
+    yield
+    jax.clear_caches()
