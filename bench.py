@@ -227,9 +227,16 @@ def main():
                 rmags = {(r, d): m for r, d, m in fixed_ref}
                 ok = (pos(got) == pos(fixed_ref)
                       and all(abs(mags[k] - rmags[k]) <= 2 for k in mags))
-            elif ref_out is None:
+            elif name == "pallas-cfar/matmul-HIGH":
+                # The DESIGNATED float parity reference (the XLA chain with
+                # the reference-exact per-cell scale) — by name, not "first
+                # to succeed": if it fails, later configs must not silently
+                # promote themselves to reference and pass ungated.
                 ref_out = out
                 ok = True
+            elif ref_out is None:
+                ok = False
+                log(f"{name}: parity UNVERIFIED (reference config failed)")
             else:
                 ok = float_gate(out, ref_out)
             percell = p_cfg.cfar.scale_mode == "cell" and mode != "fixed"
@@ -257,10 +264,14 @@ def main():
     from fmcw_tpu.utils import roofline as RL
     roofline = {}
     try:
-        fused_fps = results.get("pallas-frontend+fused-detect/HIGH",
-                                (best,))[0]
-        if fused_fps:
-            ach = RL.achieved(RL.fused_detect_model(p_block), fused_fps)
+        # Only a PARITY-VERIFIED fused run may feed the persistent record:
+        # a faster-but-wrong run would otherwise raise the regression bar
+        # with a non-parity number, and substituting another config's fps
+        # would mislabel the op/byte model.  Missing/failed fused config ->
+        # no fused_detect entry -> roofline_ok False (the right signal).
+        fused = results.get("pallas-frontend+fused-detect/HIGH")
+        if fused and fused[1]:
+            ach = RL.achieved(RL.fused_detect_model(p_block), fused[0])
             roofline["fused_detect"] = {
                 **ach, **RL.gate("fused_detect", ach)}
 

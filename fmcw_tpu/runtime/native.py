@@ -140,11 +140,22 @@ class FrameRing:
     def _ptr(self, arr):
         return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
 
+    def _checked(self, frame) -> np.ndarray:
+        # The native side memcpys exactly frame_elems*2 bytes from the raw
+        # pointer — an undersized array would be an out-of-bounds read, so
+        # the shape contract is enforced here, on both backends alike.
+        f = np.ascontiguousarray(frame, dtype=np.int16)
+        if f.shape != self.frame_shape:
+            raise ValueError(
+                f"frame shape {f.shape} != ring frame shape "
+                f"{self.frame_shape}")
+        return f
+
     def push(self, frame: np.ndarray) -> bool:
         """Blocking push; False once the ring is closed (native semantics,
         mirrored by the fallback via a poll so close() always cancels)."""
         import queue
-        f = np.ascontiguousarray(frame, dtype=np.int16)
+        f = self._checked(frame)
         if self._lib is not None:
             return self._lib.fmcwio_ring_push(self._ring, self._ptr(f)) == 0
         while not self._closed.is_set():
@@ -157,7 +168,7 @@ class FrameRing:
 
     def try_push(self, frame: np.ndarray) -> bool:
         import queue
-        f = np.ascontiguousarray(frame, dtype=np.int16)
+        f = self._checked(frame)
         if self._lib is not None:
             return self._lib.fmcwio_ring_try_push(self._ring, self._ptr(f)) == 1
         if self._closed.is_set():

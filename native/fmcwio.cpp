@@ -29,12 +29,14 @@ extern "C" {
 long fmcwio_parse_ints(const char* path, int32_t* out, long cap) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
-  // Read whole file.
-  fseek(f, 0, SEEK_END);
+  // Read whole file.  A non-seekable path (FIFO, /dev/stdin) makes ftell
+  // return -1; treat it as an open failure instead of sizing a zero-byte
+  // buffer and fread'ing (size_t)-1 bytes into it.
+  if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return -1; }
   long sz = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::vector<char> buf(sz + 1);
-  size_t rd = fread(buf.data(), 1, sz, f);
+  if (sz < 0 || fseek(f, 0, SEEK_SET) != 0) { fclose(f); return -1; }
+  std::vector<char> buf((size_t)sz + 1);
+  size_t rd = fread(buf.data(), 1, (size_t)sz, f);
   fclose(f);
   buf[rd] = '\0';
 
@@ -65,11 +67,16 @@ int fmcwio_write_rdm(const char* path, const int32_t* mag, int n_range,
   if (!f) return -1;
   std::vector<char> iobuf(1 << 20);
   setvbuf(f, iobuf.data(), _IOFBF, iobuf.size());
-  for (int r = 0; r < n_range; ++r)
+  // Propagate write failures (ENOSPC, I/O errors) — fclose also flushes
+  // the stream buffer, so its status must be checked too, or a truncated
+  // map would be reported as a success.
+  bool ok = true;
+  for (int r = 0; r < n_range && ok; ++r)
     for (int d = 0; d < n_doppler; ++d)
-      fprintf(f, "%d %d 0 0 %d\n", r, d, mag[(long)r * n_doppler + d]);
-  fclose(f);
-  return 0;
+      if (fprintf(f, "%d %d 0 0 %d\n", r, d,
+                  mag[(long)r * n_doppler + d]) < 0) { ok = false; break; }
+  if (fclose(f) != 0) ok = false;
+  return ok ? 0 : -1;
 }
 
 // ---------------------------------------------------------------------------
